@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+config block is what we would ship to a real cluster via
+``spark-submit --py-files`` (see scripts/run_pipeline.py) — only ``master``
+and the memory knobs change.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime partition coalescing + skew-join splitting.
+- shuffle.partitions is a *starting* value; AQE coalesces. On a real
+  cluster this would be ~2-3x total cores.
+- Arrow enabled for every pandas UDF boundary; maxRecordsPerBatch bounds
+  the memory of the model-forward UDF batches (SURVEY §4 "pad-to-batch-max").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "split-ner-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    if driver_mem is None:
+        driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,77 @@
+"""Canonicalization: connected components over the surface-similarity graph.
+
+Reference analog: the k-medoids mention-clustering prototype
+(/root/reference/splitner/utils/mention_clustering.py:113-161), which
+pairwise-compares every mention on the driver. The rebuild replaces it
+with the scalable formulation (SURVEY §2 C1 upgrade): LSH-blocked
+similarity edges → connected components → one canonical id per component.
+
+Algorithm: iterative min-label propagation ("hash-to-min") with
+``localCheckpoint`` per round to cut lineage, and an exact convergence
+check (count of changed labels == 0). Alias/near-dup graphs are star-like
+(diameter ≤ 3-4), so this converges in a handful of rounds; for
+adversarially long path graphs the large-star/small-star variant
+(Kiveris et al., "Connected Components in MapReduce and Beyond") is the
+drop-in upgrade — the join structure below is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """edges(src, dst) undirected → (node, component) where component is
+    the min node id (by string ordering) in the component."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_components(
+    nodes: DataFrame, edges: DataFrame, node_col: str = "node"
+) -> DataFrame:
+    """All nodes (including isolated ones) → (node, component); isolated
+    nodes are their own component."""
+    cc = connected_components(edges)
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .join(cc, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )

@@ -1,0 +1,121 @@
+"""G2 — entity linking: mention surface → canonical entity id.
+
+Path 1 (hot): broadcast equi-join of the normalized surface against the
+alias dictionary — the dictionary is a small dimension (FIXTURES.md F6),
+so this is a map-side join, zero shuffle of the mention fact table.
+
+Path 2 (fuzzy): surfaces that miss the dictionary go through MinHash-LSH
+blocking (ops/lsh.py) against the dictionary's normalized aliases; best
+match per surface wins (max Jaccard, canonical_id as deterministic
+tie-break).
+
+Path 3 (miss): still-unmatched surfaces get a self canonical id
+``surface:<norm>`` so downstream triples are still emitted (they become
+candidate new entities).
+
+The expensive work runs on DISTINCT surfaces, not on mentions — the
+reference memoizes tokenization the same way
+(/root/reference/splitner/dataset_qa.py:152-155: cache per distinct
+token); here `dropDuplicates` + join-back is the distributed analog.
+
+Normalization twin: reference_impl.normalize_surface (tests pin equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..reference_impl import PUNCT_CHARS
+from .lsh import char_shingles_col, lsh_similarity_join
+
+
+def norm_surface_col(col: F.Column) -> F.Column:
+    s = F.lower(col)
+    s = F.translate(s, PUNCT_CHARS, " " * len(PUNCT_CHARS))
+    s = F.regexp_replace(s, r"\s+", " ")
+    return F.trim(s)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_df: DataFrame,
+    jaccard_threshold: float = 0.55,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """mentions(..., surface, entity_type) × alias(alias, canonical_id,
+    entity_type) → + canonical_id, linked_via, final entity_type
+    (dictionary type wins over the classifier's rule type when linked).
+    """
+    dim = (
+        alias_df.select(
+            norm_surface_col(F.col("alias")).alias("alias_norm"),
+            F.col("canonical_id"),
+            F.col("entity_type").alias("dict_type"),
+        )
+        .dropDuplicates(["alias_norm"])
+    )
+
+    surfaces = (
+        mentions.select(norm_surface_col(F.col("surface")).alias("surface_norm"))
+        .distinct()
+    )
+
+    exact = surfaces.join(
+        F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "inner"
+    ).select("surface_norm", "canonical_id", "dict_type", F.lit("exact").alias("linked_via"))
+
+    missed = surfaces.join(
+        F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "left_anti"
+    )
+
+    m_sh = missed.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
+    d_sh = dim.withColumn("shingles", char_shingles_col(F.col("alias_norm")))
+    fuzzy_pairs = lsh_similarity_join(
+        m_sh,
+        d_sh.select("alias_norm", "shingles"),
+        "surface_norm",
+        "alias_norm",
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=jaccard_threshold,
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        fuzzy_pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("surface_norm").orderBy(
+                    F.col("jaccard").desc(), F.col("alias_norm")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "jaccard")
+    )
+    fuzzy = (
+        best.join(F.broadcast(dim), "alias_norm")
+        .select("surface_norm", "canonical_id", "dict_type", F.lit("lsh").alias("linked_via"))
+    )
+
+    linked_dim = exact.unionByName(fuzzy)
+    self_linked = (
+        surfaces.join(linked_dim, "surface_norm", "left_anti")
+        .select(
+            "surface_norm",
+            F.concat(F.lit("surface:"), F.col("surface_norm")).alias("canonical_id"),
+            F.lit(None).cast("string").alias("dict_type"),
+            F.lit("self").alias("linked_via"),
+        )
+    )
+    full_dim = linked_dim.unionByName(self_linked)
+
+    out = (
+        mentions.withColumn("surface_norm", norm_surface_col(F.col("surface")))
+        .join(F.broadcast(full_dim), "surface_norm")
+        .withColumn("entity_type", F.coalesce(F.col("dict_type"), F.col("entity_type")))
+        .drop("dict_type")
+    )
+    return out

@@ -1,0 +1,87 @@
+"""G1 — triple materialization with hot-subject salting.
+
+From linked typed mentions, emit the (subj, pred, obj) relation:
+- ``typed_as(entity, type)``
+- ``mentioned_in(entity, url)``
+- ``co_mentioned_with(a, b)`` for distinct entity pairs in one sentence
+  (a < b, deduplicated)
+
+Skew: the corpus plants Zipf-skewed entities (the hottest subject is in
+~10% of pages — corpus.py), so a naive ``repartition(subj)`` would put a
+tenth of the output through one task. The writer therefore detects heavy
+hitters with a cheap count aggregate and spreads ONLY those across
+``n_salts`` salt buckets (salt = deterministic hash of the full triple):
+cold keys keep locality, hot keys parallelize. AQE handles join-side skew;
+this handles write/partition-side skew, which AQE does not (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
+    """Distinct canonical-id pairs co-mentioned in one sentence (a < b).
+
+    Self-join on (url, sent_id); per-sentence mention counts are tiny
+    (bounded by sentence length), so the join fan-out is bounded.
+    """
+    a = linked.select("url", "sent_id", F.col("canonical_id").alias("subj")).distinct()
+    b = linked.select("url", "sent_id", F.col("canonical_id").alias("obj")).distinct()
+    return (
+        a.join(b, ["url", "sent_id"])
+        .filter(F.col("subj") < F.col("obj"))
+        .select("subj", F.lit("co_mentioned_with").alias("pred"), "obj")
+        .distinct()
+    )
+
+
+def make_triples(linked: DataFrame) -> DataFrame:
+    """linked mentions(url, sent_id, ..., entity_type, canonical_id) →
+    triples(subj, pred, obj)."""
+    typed = (
+        linked.filter(F.col("entity_type").isNotNull())
+        .select(
+            F.col("canonical_id").alias("subj"),
+            F.lit("typed_as").alias("pred"),
+            F.col("entity_type").alias("obj"),
+        )
+        .distinct()
+    )
+    mentioned = linked.select(
+        F.col("canonical_id").alias("subj"),
+        F.lit("mentioned_in").alias("pred"),
+        F.col("url").alias("obj"),
+    ).distinct()
+    return typed.unionByName(mentioned).unionByName(cooccurrence_pairs(linked))
+
+
+def salted_by_subject(
+    triples: DataFrame,
+    n_partitions: int = 64,
+    n_salts: int = 16,
+    hot_fraction: float = 0.01,
+) -> DataFrame:
+    """Repartition triples by (subj, salt) where salt spreads heavy
+    subjects. Hot set = subjects holding > hot_fraction of all triples
+    (exact count agg — cheap: one int per distinct subject; at extreme
+    cardinality swap in approx freq-sketch over a sample).
+    Deterministic: salt is a hash of the full triple, not a random()."""
+    counts = triples.groupBy("subj").agg(F.count("*").alias("c"))
+    total = triples.count()
+    hot = counts.filter(F.col("c") > hot_fraction * total).select(
+        "subj", F.lit(True).alias("_hot")
+    )
+    salted = (
+        triples.join(F.broadcast(hot), "subj", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_hot"),
+                F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(n_salts)),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    return salted.repartition(n_partitions, "subj", "salt").drop("salt")

@@ -1,0 +1,179 @@
+"""End-to-end KG-construction pipeline with resumable stage commits.
+
+The reference glues its two model stages through files the operator
+renames by hand (/root/reference/README.md:130-148: copy test.tsv →
+infer_inp.tsv); checkpoints are kept per epoch (trainer.py:9-38). The
+rebuild replaces both with committed stage tables: every stage writes an
+atomic parquet directory (write to ``_tmp.<stage>`` then a single
+``os.rename``) plus a ``_COMMIT.json`` manifest; re-running the pipeline
+skips every stage whose commit marker exists — kill-and-rerun resumes from
+the last committed stage (BASELINE.md "Resumability"). Per-partition
+lineage (stage, partition file, rows, wall_ms) lands in
+``<workdir>/_lineage.jsonl`` — the target-only requirement of SURVEY §4.
+
+On a real deployment the committer is one `writeTo(...).append()` against
+Iceberg with snapshot ids in place of commit markers; the stage graph and
+resume logic are identical (atomic dir rename ≈ snapshot commit).
+
+Stage graph (each stage reads its predecessor's COMMITTED table, so
+resume is real, not lineage replay):
+
+    pages → sentences → detected → mentions (typed) → linked → triples
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import corpus
+from .ops.assemble import assemble_untyped
+from .ops.classify import classify_mentions
+from .ops.detect import detect_spans
+from .ops.link import link_mentions
+from .ops.metrics import triple_pr
+from .ops.segment import segment_pages
+from .ops.triples import make_triples, salted_by_subject
+
+
+class StageCommitter:
+    """Atomic parquet stage tables + commit manifests + lineage records."""
+
+    def __init__(self, base_dir: str):
+        self.base = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+        self.lineage_path = os.path.join(base_dir, "_lineage.jsonl")
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def _marker(self, stage: str) -> str:
+        return os.path.join(self.base, f"_COMMIT.{stage}.json")
+
+    def is_committed(self, stage: str) -> bool:
+        return os.path.exists(self._marker(stage))
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self.path(stage))
+
+    def write(self, df: DataFrame, stage: str, partition_cols: list[str] | None = None) -> DataFrame:
+        """Write df as the stage table; atomic rename; record lineage.
+        Returns the re-read (committed) DataFrame."""
+        spark = df.sparkSession
+        tmp = os.path.join(self.base, f"_tmp.{stage}")
+        final = self.path(stage)
+        t0 = time.time()
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(tmp)
+        wall_ms = int((time.time() - t0) * 1000)
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        committed = spark.read.parquet(final)
+        per_file = (
+            committed.groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
+        rows = sum(r["count"] for r in per_file)
+        with open(self.lineage_path, "a") as fh:
+            for r in per_file:
+                fh.write(
+                    json.dumps(
+                        {
+                            "stage": stage,
+                            "partition_file": os.path.basename(r["file"]),
+                            "rows": r["count"],
+                            "wall_ms": wall_ms,
+                        }
+                    )
+                    + "\n"
+                )
+        with open(self._marker(stage), "w") as fh:
+            json.dump(
+                {"stage": stage, "rows": rows, "wall_ms": wall_ms,
+                 "n_files": len(per_file), "committed_at": time.time()},
+                fh,
+            )
+        return committed
+
+    def stage(self, stage: str, build, resume: bool = True) -> DataFrame:
+        """Memoized stage: reuse the committed table or build+commit it."""
+        spark = SparkSession.getActiveSession()
+        if resume and self.is_committed(stage):
+            return self.read(spark, stage)
+        return self.write(build(), stage)
+
+
+def alias_dim(spark: SparkSession, seed: int = corpus.SEED) -> DataFrame:
+    rows = corpus.alias_rows(corpus.build_registry(seed))
+    return spark.createDataFrame(
+        rows, "alias string, canonical_id string, entity_type string"
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    workdir: str,
+    n_pages: int = 2000,
+    seed: int = corpus.SEED,
+    resume: bool = True,
+    evaluate: bool = True,
+    triple_partitions: int = 64,
+) -> dict:
+    """Full pipeline over the deterministic synthetic corpus.
+
+    Returns a summary dict (rows per stage, triple P/R when evaluate=True,
+    wall seconds, triples/sec)."""
+    sc = StageCommitter(workdir)
+    t_start = time.time()
+
+    def build_pages_gold():
+        return corpus.gen_pages_with_gold(spark, n_pages, seed)
+
+    pg = sc.stage("pages_gold", build_pages_gold, resume)
+    pages = corpus.pages(pg)
+
+    sents = sc.stage("sentences", lambda: segment_pages(pages), resume)
+    detected = sc.stage("detected", lambda: detect_spans(sents), resume)
+    mentions = sc.stage(
+        "mentions",
+        lambda: classify_mentions(assemble_untyped(detected)).drop("tokens"),
+        resume,
+    )
+    linked = sc.stage(
+        "linked", lambda: link_mentions(mentions, alias_dim(spark, seed)), resume
+    )
+    triples = sc.stage(
+        "triples",
+        lambda: salted_by_subject(make_triples(linked), triple_partitions),
+        resume,
+    )
+
+    wall_s = time.time() - t_start
+    n_triples = triples.count()
+    summary = {
+        "n_pages": n_pages,
+        "rows": {
+            s: json.load(open(os.path.join(workdir, f"_COMMIT.{s}.json")))["rows"]
+            for s in ["pages_gold", "sentences", "detected", "mentions", "linked", "triples"]
+        },
+        "wall_s": round(wall_s, 3),
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / wall_s, 2) if wall_s > 0 else None,
+    }
+    if evaluate:
+        gold = corpus.gold_mentions(pg)
+        golden = corpus.golden_triples(gold)
+        summary["triple_match"] = triple_pr(triples, golden)
+    with open(os.path.join(workdir, "_report.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    return summary

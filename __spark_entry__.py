@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship mini-KG query (segment → detect → W3 span
+assembly → typed mention counts) over the sf0.001 documents table;
+``queries``/``oracle_sql`` expose every oracle-checkable operator from
+SURVEY.md §2 plus the training-data-pipeline families (dedup, ANN,
+text analysis) — see ``split_ner_spark/queries.py`` for the paired
+implementations. Entries without an oracle (Arrow-UDF pipeline stages,
+multimodal stubs) get the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +14,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from split_ner_spark.queries import ORACLES, QUERIES, gaz_spans, load
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: typed entity mentions per
+    (entity_type, surface), ordered by count — scan → tokenize → span
+    assembly (W3) → hash aggregate."""
+    from split_ner_spark.queries import GAZ_PRED
+
+    docs = load(spark, SF0001, "documents")
+    return (
+        gaz_spans(docs, GAZ_PRED)
+        .groupBy("entity_type", "surface")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy(F.col("n_mentions").desc(), "entity_type", "surface")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries + the full KG pipeline at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": ...}
+
+The pipeline stage (synthetic corpus scaled to the sf, full
+segment→detect→assemble→classify→link→triples run with committed stage
+tables) is the BASELINE.json headline — its triples/sec is reported
+alongside per-query latencies. Scaling-efficiency evidence (same job at
+local[8] vs local[32]) lives in scripts/scaling_bench.py / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from split_ner_spark import corpus  # noqa: E402
+from split_ner_spark.pipeline import run_pipeline  # noqa: E402
+from split_ner_spark.queries import QUERIES  # noqa: E402
+from split_ner_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "kg_span_assembly",
+    "kg_eval_f1",
+    "kg_cooccurrence",
+    "pricing_summary",
+    "top_suppliers_per_nation",
+    "events_sessionize",
+    "text_quality",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_lsh_jaccard",
+    "ann_cosine_topk",
+    "emb_near_dup",
+]
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_from_dir(sf_dir)
+    spark = get_spark(app_name="split-ner-spark-bench", cpus=cpus,
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # warm the JVM/python workers once so per-query numbers are not
+    # dominated by first-job startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    # full KG pipeline at a corpus size proportional to the sf
+    n_pages = corpus.n_pages_for_sf(sf)
+    workdir = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        t0 = time.time()
+        summary = run_pipeline(
+            spark, workdir, n_pages=n_pages, resume=False, evaluate=False,
+            triple_partitions=max(cpus * 2, 32),
+        )
+        timings["kg_pipeline"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pipeline_pages": n_pages,
+        "pipeline_triples": summary["triples"],
+        "triples_per_sec": round(summary["triples"] / timings["kg_pipeline"], 2),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,523 @@
+"""Deduplication operators for the training-data pipeline over ``documents``.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash (banded hamming join), and n-gram Jaccard — the standard
+web-corpus dedup ladder.
+
+Reference analog: the reference dedups sentences first-wins by text key
+(/root/reference/splitner/main_qa.py:120-127, main_span.py:105-107) and
+clusters mention surfaces (splitner/utils/mention_clustering.py); here the
+same ideas are scaled to corpus-level near-dup detection, the shape every
+100 TB pretraining pipeline needs.
+
+Scale design notes:
+- **exact**: one hash-groupBy on md5(text) — partial-agg combines map-side,
+  the shuffle carries 16-byte keys, never the text.
+- **MinHash/LSH**: signatures are a narrow scan-side projection; the only
+  shuffle is the band-bucket self-join, whose keys are uniformly
+  distributed md5 buckets (no skew by construction). Candidate
+  verification (exact Jaccard) touches only bucket-collision pairs — the
+  whole point of LSH at 10^12 docs.
+- **SimHash**: hamming ≤ d over b bits via pigeonhole banding (d+1 bands ⇒
+  any pair within d matches at least one band exactly) — an *exact*
+  candidate generator, no cross join anywhere.
+- every hash is md5 (bit-identical in Spark and DuckDB), so each operator
+  has an exact SQL oracle twin.
+
+All Catalyst-native: array/higher-order functions + joins; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import TOKEN_WS_RE, ws_tokens
+
+N_MINHASH = 12
+N_BANDS = 4  # 3 rows per band
+SIMHASH_BITS = 16
+_HI = tuple("89abcdef")  # md5 hex chars whose high bit is 1
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """md5(text) grouping: keeper = lowest doc_id per hash, rest are dups."""
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        documents.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "text_hash",
+            "keeper_id",
+            (F.col("doc_id") != F.col("keeper_id")).alias("is_dup"),
+        )
+    )
+
+
+def exact_dedup_sql(doc_table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id, text_hash, keeper_id, doc_id <> keeper_id AS is_dup
+    FROM (
+      SELECT doc_id, md5(text) AS text_hash,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+      FROM {doc_table}
+    )
+    """
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle_hash)."""
+    toks = ws_tokens()
+    n = F.size(toks)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        )
+    )
+    return documents.select("doc_id", F.explode(sh).alias("shingle_hash"))
+
+
+def _shingles_sql(doc_table: str, k: int) -> str:
+    toks = f"regexp_extract_all(text, '{TOKEN_WS_RE}')"
+    n = f"len({toks})"
+    hashes = (
+        f"list_distinct(list_transform(range(1, greatest({n} - {k - 1}, 1) + 1), "
+        f"i -> md5(array_to_string({toks}[i:i+{k - 1}], ' '))))"
+    )
+    return f"SELECT doc_id, unnest({hashes}) AS shingle_hash FROM {doc_table}"
+
+
+# affine-mix constants: one md5 per shingle reduced to 32 bits, then
+# n_hashes cheap (a*h + b) % P mixes. base < 2^32 and a < 2^21 keep every
+# product < 2^63, so Spark and DuckDB int64 arithmetic agree exactly
+# (DuckDB *errors* on int64 overflow where Spark wraps — stay in range).
+MINHASH_P = 1_000_000_007
+_MIX_A = "(12289 * ({i} + 1) + 6151)"
+_MIX_B = "(104729 * {i} + 9973)"
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3, n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash signature: min over shingles of affine-mixed 32-bit hashes.
+
+    Cost discipline: exactly ONE md5 per shingle (the classic
+    one-hash-many-mixes trick); the md5 array is materialized through a
+    Generate barrier (``explode(array(...))``) because higher-order
+    functions are not codegen'd and projection collapse would otherwise
+    re-evaluate the md5 array once per signature row.
+    """
+    toks = ws_tokens()
+    n = F.size(toks)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    bases = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    with_bases = documents.select(
+        "doc_id", F.explode(F.array(bases)).alias("bases")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("bases"),
+                lambda b: (b * (12289 * (i + 1) + 6151) + (104729 * i + 9973))
+                % MINHASH_P,
+            )
+        ),
+    )
+    return with_bases.select("doc_id", sig.alias("signature"))
+
+
+def _minhash_sig_sql(doc_table: str, k: int, n_hashes: int) -> str:
+    toks = f"regexp_extract_all(text, '{TOKEN_WS_RE}')"
+    n = f"len({toks})"
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest({n} - {k - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
+    )
+    bases = (
+        f"list_transform({sh}, "
+        f"s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT))"
+    )
+    a = _MIX_A.format(i="i")
+    b = _MIX_B.format(i="i")
+    sig = (
+        f"list_transform(range(0, {n_hashes}), "
+        f"i -> list_min(list_transform(bases, b -> (b * {a} + {b}) % {MINHASH_P})))"
+    )
+    return (
+        f"SELECT doc_id, {sig} AS signature FROM "
+        f"(SELECT doc_id, {bases} AS bases FROM {doc_table})"
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, k: int = 3, n_hashes: int = N_MINHASH, bands: int = N_BANDS
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one signature band.
+
+    Band key = md5(band_id || joined band rows); the self-equi-join on
+    (band_id, band_key) is the only shuffle, and its keys are uniform.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(documents, k, n_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.transform(
+                                F.slice("signature", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_sql(
+    doc_table: str = "documents", k: int = 3, n_hashes: int = N_MINHASH, bands: int = N_BANDS
+) -> str:
+    rows = n_hashes // bands
+    sig = _minhash_sig_sql(doc_table, k, n_hashes)
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS (
+      SELECT doc_id, b.band_id,
+             md5(array_to_string(signature[b.band_id*{rows}+1 : b.band_id*{rows}+{rows}], '|')) AS band_key
+      FROM sig, (SELECT unnest(range(0, {bands})) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing ≥1 shingle.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|); the shingle self-join generates only
+    pairs with nonzero intersection — at web scale this runs AFTER LSH
+    pruning (verification step); here it is also exposed standalone so the
+    oracle can check the arithmetic end-to-end.
+    """
+    sh = shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    doc_table: str = "documents", k: int = 3, threshold: float = 0.5
+) -> str:
+    sh = _shingles_sql(doc_table, k)
+    return f"""
+    WITH sh AS ({sh}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (shingle_hash)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+                / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold}
+    """
+
+
+def lsh_verified_jaccard(
+    documents: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    bands: int = N_BANDS,
+) -> DataFrame:
+    """The production dedup composition: MinHash-LSH candidate generation,
+    then exact n-gram-Jaccard verification restricted to candidates.
+
+    The expensive shingle⋈shingle fan-out of :func:`ngram_jaccard_pairs`
+    is replaced by candidates⋈shingles (cost ∝ |candidates|·|shingles per
+    doc|) — this is the only Jaccard shape that survives 10^12 docs."""
+    cand = minhash_lsh_pairs(documents, k, n_hashes, bands)
+    sh = shingles(documents, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle_hash")
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle_hash"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified_jaccard_sql(
+    doc_table: str = "documents",
+    k: int = 3,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASH,
+    bands: int = N_BANDS,
+) -> str:
+    cand = minhash_lsh_pairs_sql(doc_table, k, n_hashes, bands)
+    sh = _shingles_sql(doc_table, k)
+    return f"""
+    WITH cand AS ({cand}),
+    sh AS ({sh}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b, count(*) AS n_common
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.doc_a
+      JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY cand.doc_a, cand.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= {threshold}
+    """
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over whitespace tokens (term-frequency weighted).
+
+    Bit j of token t = high bit of hex digit j of md5(t); simhash bit j is
+    the sign of Σ_tokens (±1). Computed by explode → hash-aggregate: the
+    shuffle carries (doc_id, 16 small ints) and combines map-side.
+    """
+    tok = F.explode(ws_tokens()).alias("token")
+    exploded = documents.select("doc_id", tok).withColumn("h", F.md5("token"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*_HI), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    bit_exprs = [
+        F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.concat(*bit_exprs).alias("simhash_bits"))
+    )
+
+
+def _simhash_sql(doc_table: str, bits: int) -> str:
+    hi = ", ".join("'" + c + "'" for c in _HI)
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN ({hi}) THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    bitcat = " || ".join(
+        f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(bits)
+    )
+    return f"""
+    SELECT doc_id, {bitcat} AS simhash_bits FROM (
+      SELECT doc_id, {sums}
+      FROM (SELECT doc_id, md5(unnest(regexp_extract_all(text, '{TOKEN_WS_RE}'))) AS h
+            FROM {doc_table})
+      GROUP BY doc_id
+    )
+    """
+
+
+def simhash_sql(doc_table: str = "documents", bits: int = SIMHASH_BITS) -> str:
+    return _simhash_sql(doc_table, bits)
+
+
+SIMHASH_PAIR_BITS = 32
+
+
+def simhash_values(documents: DataFrame, bits: int = SIMHASH_PAIR_BITS) -> DataFrame:
+    """Integer SimHash (bit j from md5 hex digit j of each token, tf
+    weighted): one hash-aggregate, output (doc_id, simhash_v:bigint).
+
+    The int form makes downstream hamming a single ``bit_count(xor)``
+    instead of a character-array fold — the representation you actually
+    ship at 10^12 docs (64-bit fingerprints in practice)."""
+    tok = F.explode(ws_tokens()).alias("token")
+    exploded = documents.select("doc_id", tok).withColumn("h", F.md5("token"))
+    aggs = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*_HI), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    v = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << (bits - 1 - j)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        v = bit if v is None else v + bit
+    return exploded.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", v.alias("simhash_v")
+    )
+
+
+def _simhash_values_sql(doc_table: str, bits: int) -> str:
+    hi = ", ".join("'" + c + "'" for c in _HI)
+    sums = ", ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN ({hi}) THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    v = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN CAST({1 << (bits - 1 - j)} AS BIGINT) ELSE 0 END"
+        for j in range(bits)
+    )
+    return f"""
+    SELECT doc_id, {v} AS simhash_v FROM (
+      SELECT doc_id, {sums}
+      FROM (SELECT doc_id, md5(unnest(regexp_extract_all(text, '{TOKEN_WS_RE}'))) AS h
+            FROM {doc_table})
+      GROUP BY doc_id
+    )
+    """
+
+
+def simhash_pairs(
+    documents: DataFrame, bits: int = SIMHASH_PAIR_BITS, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ d, via pigeonhole banding.
+
+    Split the b bits into d+1 byte bands; any pair within hamming d agrees
+    exactly on ≥1 band (pigeonhole), so the band equi-join is a lossless
+    candidate generator and the exact ``bit_count(xor)`` filter verifies.
+    No cross join anywhere — the plan that survives 10^12 docs.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = simhash_values(documents, bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band_id"),
+                        F.shiftright(F.col("simhash_v"), bb * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for bb in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash_v", "band.band_id", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash_v").bitwiseXOR(F.col("b.simhash_v"))
+    ).cast("int")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(
+    doc_table: str = "documents", bits: int = SIMHASH_PAIR_BITS, max_hamming: int = 3
+) -> str:
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sh = _simhash_values_sql(doc_table, bits)
+    return f"""
+    WITH sh AS ({sh}),
+    banded AS (
+      SELECT doc_id, simhash_v, b.band_id,
+             (simhash_v >> (b.band_id * {width})) & {mask} AS band_key
+      FROM sh, (SELECT unnest(range(0, {n_bands})) AS band_id) b
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash_v, b.simhash_v)) AS INT) AS hamming
+    FROM banded a JOIN banded b USING (band_id, band_key)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash_v, b.simhash_v)) <= {max_hamming}
+    """

@@ -1,0 +1,230 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Brute-force cosine top-k as the exactness baseline, a sign-LSH-bucketed
+variant as the scale path, and cosine near-dup pairs for embedding-level
+deduplication.
+
+Reference analog: the reference's nearest-sentence retrieval (argmax over
+batch-scored candidates, /root/reference/splitner/utils/next_sent_prediction.py:32-50)
+and mention-embedding clustering (splitner/utils/mention_clustering.py:113-161);
+here re-expressed as DataFrame joins + in-order dot-product folds so the
+arithmetic is bit-identical to the DuckDB oracle (verified: Spark's
+``aggregate``/``zip_with`` left fold and DuckDB's ``list_sum`` produce
+bitwise-equal doubles on float32 inputs).
+
+Scale design:
+- **brute force**: broadcast the (small) query set against the corpus —
+  one narrow pass over the big side, no shuffle of embeddings; the
+  per-query top-k is a partial-aggregating window. Right for |Q| ≪ |C|.
+- **sign-LSH**: bucket = sign bits of the first B components (a fixed
+  orthogonal-projection LSH; a production variant would use seeded random
+  hyperplanes — same plan, different bucket expression). Candidates are
+  bucket-local, so the self-join shuffles each embedding once and never
+  materializes the |C|² cross product.
+
+All Catalyst-native; cosine math uses array higher-order functions, no
+UDF, so the fold runs inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LSH_SIGN_BITS = 8
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _NORM_SQL.format(a=a)
+    nb = _NORM_SQL.format(a=b)
+    return f"({dot} / ({na} * {nb}))"
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    The query side is tiny → ``broadcast`` join (one scan of the corpus,
+    zero shuffle of the big side); rank = dense position by (sim desc,
+    neighbor asc).
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_sql(
+    emb_table: str = "embeddings", n_queries: int = 10, k: int = 5
+) -> str:
+    cos = _cosine_sql("q.embedding", "c.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cosine_sim
+      FROM {emb_table} q JOIN {emb_table} c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {n_queries}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+      ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def _sign_bucket(emb: str | Column, bits: int) -> Column:
+    return F.concat(
+        *[
+            F.when(F.element_at(emb, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def _sign_bucket_sql(emb: str, bits: int) -> str:
+    return " || ".join(
+        f"CASE WHEN {emb}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(bits)
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = LSH_SIGN_BITS,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    The bucket join shuffles each corpus vector once by an 8-bit key; at
+    10^9+ vectors this (or IVF) is the only viable plan — brute force is
+    the oracle for recall measurement, not the production path.
+    """
+    withb = embeddings.withColumn("bucket", _sign_bucket("embedding", bits))
+    q = withb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_cosine_topk_sql(
+    emb_table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = LSH_SIGN_BITS,
+) -> str:
+    cos = _cosine_sql("q.embedding", "c.embedding")
+    bq = _sign_bucket_sql("q.embedding", bits)
+    bc = _sign_bucket_sql("c.embedding", bits)
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {cos} AS cosine_sim
+      FROM {emb_table} q JOIN {emb_table} c
+        ON ({bq}) = ({bc}) AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < {n_queries}
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+      ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, bits: int = LSH_SIGN_BITS
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (bucket-pruned, then exact filter).
+
+    Sign-LSH bucketing only *prunes* (near-identical vectors share all
+    sign bits with overwhelming probability); the cosine filter is exact
+    within buckets. Completes the dedup ladder at the semantic level.
+    """
+    withb = embeddings.select(
+        "vec_id", "embedding", _sign_bucket("embedding", bits).alias("bucket")
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    emb_table: str = "embeddings", threshold: float = 0.9, bits: int = LSH_SIGN_BITS
+) -> str:
+    cos = _cosine_sql("a.embedding", "b.embedding")
+    ba = _sign_bucket_sql("a.embedding", bits)
+    bb = _sign_bucket_sql("b.embedding", bits)
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine_sim
+    FROM {emb_table} a JOIN {emb_table} b
+      ON ({ba}) = ({bb}) AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """

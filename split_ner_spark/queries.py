@@ -1,0 +1,884 @@
+"""Query registry: every oracle-checkable operator from SURVEY.md §2.
+
+Each entry pairs a Spark DataFrame implementation with an ANSI-SQL twin
+that DuckDB runs on the same parquet tables (the driver's correctness
+gate). Column names and types are aligned on both sides; double-valued
+aggregates use the integerized-sum trick (``sum(round(x*10000)::bigint)``)
+so results are independent of partial-aggregation order, and in-order
+array folds (verified bitwise-equal between Spark and DuckDB) for vector
+math.
+
+The ``kg_*`` queries run the KG-construction operator semantics
+(SURVEY §2: W3 span assembly, E1/E2 evaluation, X1 confusion, X2 overlap
+join, X3 OOV anti-join, X5 stats, X6 n-gram top-k, G1 co-occurrence) over
+the ``documents`` table using a fixed gazetteer as the detector surrogate,
+so the *same expressions* the pipeline uses are cross-checked against
+classic SQL window/join formulations. The ``dedup_*`` / ``text_*`` /
+``ann_*`` families are the training-data-pipeline operators (exact,
+MinHash-LSH, SimHash, n-gram-Jaccard and embedding dedup; brute-force and
+LSH ANN; language-ID / quality / token counts / fingerprints).
+
+Non-SQL-expressible entries (the Arrow-UDF pipeline itself, multimodal
+feature extraction) are registered without oracles → the driver records
+the weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ops import dedup, simsearch, textstats
+from .ops.assemble import spans_bio_col
+from .ops.metrics import EPS_ANALYSIS
+from .ops.textstats import STOPWORDS, TOKEN_WS_RE, ws_tokens
+
+# ---------------------------------------------------------------------------
+# helpers
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _isum(c: Column, scale: int = 10000) -> Column:
+    """Order-independent sum of a double column: integerize per row, sum
+    exactly as long, convert back. Matches the SQL twin bit-for-bit."""
+    return F.sum(F.round(c * scale).cast("long")).cast("double") / scale
+
+
+def _isum_sql(expr: str, scale: int = 10000) -> str:
+    return f"CAST(sum(CAST(round(({expr}) * {scale}) AS BIGINT)) AS DOUBLE) / {scale}"
+
+
+# ---------------------------------------------------------------------------
+# gazetteer mini-KG over `documents` (detector surrogate for oracle checks)
+
+GAZ_PRED = {"spark": "ENGINE", "data": "DATA", "table": "DATA",
+            "vector": "DATA", "customer": "ACTOR"}
+GAZ_GOLD = {"spark": "ENGINE", "data": "DATA", "table": "DATA",
+            "customer": "ACTOR", "query": "OP"}
+
+
+def _typ_col(tok: Column, gaz: dict[str, str]) -> Column:
+    expr = None
+    for w, t in gaz.items():
+        expr = (F.when(tok == w, F.lit(t)) if expr is None
+                else expr.when(tok == w, F.lit(t)))
+    return expr.otherwise(F.lit(None).cast("string"))
+
+
+def gaz_spans(documents: DataFrame, gaz: dict[str, str]) -> DataFrame:
+    """Typed spans = maximal same-type runs of gazetteer tokens, via the
+    pipeline's BIO assembler (W3, with the reference can_continue guard).
+
+    BIO tags: B-<type> at a gazetteer run start, I-<own type> inside a run
+    — a type change inside a run therefore truncates the span exactly as
+    /root/reference/splitner/analysis.py:77-91 does."""
+    df = documents.select("doc_id", "lang", ws_tokens().alias("tokens"))
+
+    def tag(t: Column, i: Column) -> Column:
+        typ = _typ_col(t, gaz)
+        prev_typ = _typ_col(
+            F.element_at(F.col("tokens"), F.greatest(i, F.lit(1))), gaz
+        )
+        return (
+            F.when(typ.isNull(), F.lit("O"))
+            .when((i == 0) | prev_typ.isNull(), F.concat(F.lit("B-"), typ))
+            .otherwise(F.concat(F.lit("I-"), typ))
+        )
+
+    tagged = df.withColumn("tags", F.transform("tokens", tag))
+    return (
+        tagged.withColumn("span", F.explode(spans_bio_col("tags")))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("span.start").alias("start"),
+            F.col("span.end").alias("end"),
+            F.col("span.tag").alias("entity_type"),
+            F.array_join(
+                F.slice(
+                    "tokens", F.col("span.start") + 1,
+                    F.col("span.end") - F.col("span.start") + 1,
+                ),
+                " ",
+            ).alias("surface"),
+        )
+    )
+
+
+def _typ_case_sql(tok_expr: str, gaz: dict[str, str]) -> str:
+    whens = " ".join(f"WHEN '{w}' THEN '{t}'" for w, t in gaz.items())
+    return f"CASE {tok_expr} {whens} ELSE NULL END"
+
+
+def _gaz_spans_sql(gaz: dict[str, str], doc_table: str = "documents") -> str:
+    toks = f"regexp_extract_all(text, '{TOKEN_WS_RE}')"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, u.pos, u.tok, {_typ_case_sql('u.tok', gaz)} AS typ
+      FROM {doc_table},
+           unnest(list_transform(range(1, len({toks}) + 1),
+                  i -> {{'pos': i, 'tok': {toks}[i]}})) AS t(u)
+    ),
+    lagged AS (
+      SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_typ
+      FROM tok
+    ),
+    runs AS (
+      SELECT *, sum(CASE WHEN typ IS NOT NULL AND prev_typ IS NULL THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM lagged
+    ),
+    firsts AS (
+      SELECT *, first_value(typ) OVER (PARTITION BY doc_id, run_id ORDER BY pos) AS first_typ
+      FROM runs WHERE typ IS NOT NULL
+    ),
+    breaks AS (
+      SELECT *, min(CASE WHEN typ <> first_typ THEN pos END)
+                  OVER (PARTITION BY doc_id, run_id) AS break_pos
+      FROM firsts
+    )
+    SELECT doc_id, lang,
+           CAST(min(pos) - 1 AS INT) AS start,
+           CAST(max(pos) - 1 AS INT) AS "end",
+           first_typ AS entity_type,
+           string_agg(tok, ' ' ORDER BY pos) AS surface
+    FROM breaks
+    WHERE break_pos IS NULL OR pos < break_pos
+    GROUP BY doc_id, lang, run_id, first_typ
+    """
+
+
+# ---------------------------------------------------------------------------
+# query implementations (spark side)
+
+
+def q_kg_span_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gaz_spans(load(spark, sf_dir, "documents"), GAZ_PRED).select(
+        "doc_id", "start", "end", "entity_type", "surface"
+    )
+
+
+def q_kg_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        gaz_spans(load(spark, sf_dir, "documents"), GAZ_PRED)
+        .groupBy("entity_type", "surface")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def _kg_pred_gold(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = load(spark, sf_dir, "documents")
+    return gaz_spans(docs, GAZ_PRED), gaz_spans(docs, GAZ_GOLD)
+
+
+def q_kg_eval_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E2: exact span matching → per-tag + micro + macro P/R/F1 with
+    the reference's epsilon math (analysis.py:54-74)."""
+    pred, gold = _kg_pred_gold(spark, sf_dir)
+    k = ["doc_id", "start", "end", "entity_type"]
+    p = pred.select(*k).distinct().withColumn("_p", F.lit(1))
+    g = gold.select(*k).distinct().withColumn("_g", F.lit(1))
+    j = p.join(g, k, "full_outer")
+    counts = j.groupBy(F.col("entity_type").alias("tag")).agg(
+        F.sum(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_p").isNotNull() & F.col("_g").isNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_p").isNull() & F.col("_g").isNotNull(), 1).otherwise(0)).alias("fn"),
+    )
+    eps = EPS_ANALYSIS
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    pr = tp * 1.0 / (tp + fp + F.lit(eps))
+    rc = tp * 1.0 / (tp + fn + F.lit(eps))
+    f1 = F.lit(2.0) * pr * rc / (pr + rc + F.lit(eps))
+    per_tag = counts.select(
+        "tag", "tp", "fp", "fn", pr.alias("p"), rc.alias("r"), f1.alias("f1")
+    )
+    micro = counts.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    ).select(
+        F.lit("__micro__").alias("tag"), "tp", "fp", "fn",
+        pr.alias("p"), rc.alias("r"), f1.alias("f1"),
+    )
+    # order-independent macro: fold the SORTED per-tag f1 list so the sum
+    # order is deterministic (a plain sum() folds in partition order).
+    macro = (
+        per_tag.filter((F.col("tp") + F.col("fn")) > 0)
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list("f1")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.count("*") + F.lit(eps))
+            ).alias("f1")
+        )
+        .select(
+            F.lit("__macro__").alias("tag"),
+            F.lit(None).cast("long").alias("tp"),
+            F.lit(None).cast("long").alias("fp"),
+            F.lit(None).cast("long").alias("fn"),
+            F.lit(None).cast("double").alias("p"),
+            F.lit(None).cast("double").alias("r"),
+            "f1",
+        )
+    )
+    return per_tag.unionByName(micro).unionByName(macro)
+
+
+def q_kg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: gold×pred tag counts on position-matched spans (long form)."""
+    pred, gold = _kg_pred_gold(spark, sf_dir)
+    k = ["doc_id", "start", "end"]
+    p = pred.select(*k, F.col("entity_type").alias("pred_tag"))
+    g = gold.select(*k, F.col("entity_type").alias("gold_tag"))
+    return g.join(p, k).groupBy("gold_tag", "pred_tag").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_kg_overlap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: interval join (p.start<=g.end AND p.end>=g.start) within a doc,
+    classified into the reference's boundary-error taxonomy, counted."""
+    pred, gold = _kg_pred_gold(spark, sf_dir)
+    p = pred.select(
+        "doc_id", F.col("start").alias("p_start"), F.col("end").alias("p_end"),
+        F.col("entity_type").alias("p_tag"),
+    )
+    g = gold.select(
+        "doc_id", F.col("start").alias("g_start"), F.col("end").alias("g_end"),
+        F.col("entity_type").alias("g_tag"),
+    )
+    j = p.join(g, "doc_id").filter(
+        ~((F.col("p_start") > F.col("g_end")) | (F.col("p_end") < F.col("g_start")))
+    )
+    ps, pe, gs, ge = (F.col(c) for c in ["p_start", "p_end", "g_start", "g_end"])
+    kind = (
+        F.when((ps == gs) & (pe == ge) & (F.col("p_tag") == F.col("g_tag")), "exact")
+        .when((ps == gs) & (pe == ge), "type_mismatch")
+        .when((ps > gs) & (pe == ge), "missed_prefix")
+        .when((ps < gs) & (pe == ge), "extra_prefix")
+        .when((ps == gs) & (pe < ge), "missed_suffix")
+        .when((ps == gs) & (pe > ge), "extra_suffix")
+        .when((ps > gs) & (pe < ge), "inner")
+        .when((ps < gs) & (pe > ge), "outer")
+        .otherwise("partial_shift")
+    )
+    return j.select(kind.alias("overlap_kind")).groupBy("overlap_kind").agg(
+        F.count("*").alias("n")
+    )
+
+
+_OVERLAP_KIND_SQL = """
+    CASE
+      WHEN p_start = g_start AND p_end = g_end AND p_tag = g_tag THEN 'exact'
+      WHEN p_start = g_start AND p_end = g_end THEN 'type_mismatch'
+      WHEN p_start > g_start AND p_end = g_end THEN 'missed_prefix'
+      WHEN p_start < g_start AND p_end = g_end THEN 'extra_prefix'
+      WHEN p_start = g_start AND p_end < g_end THEN 'missed_suffix'
+      WHEN p_start = g_start AND p_end > g_end THEN 'extra_suffix'
+      WHEN p_start > g_start AND p_end < g_end THEN 'inner'
+      WHEN p_start < g_start AND p_end > g_end THEN 'outer'
+      ELSE 'partial_shift'
+    END
+"""
+
+
+def q_kg_oov_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: token frequencies for tokens outside the known vocabulary
+    (gazetteers ∪ EN stopwords) — anti-join against the vocab dim."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = sorted(set(GAZ_PRED) | set(GAZ_GOLD) | set(STOPWORDS["en"]))
+    toks = docs.select(F.explode(ws_tokens()).alias("token"))
+    vdf = spark.createDataFrame([(w,) for w in vocab], "token string")
+    return (
+        toks.join(F.broadcast(vdf), "token", "left_anti")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_kg_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: frequent bigrams (count ≥ 5), the pattern-mining operator."""
+    docs = load(spark, sf_dir, "documents")
+    toks = ws_tokens()
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 analog: co-mentioned canonical entity pairs per doc → count."""
+    spans = gaz_spans(load(spark, sf_dir, "documents"), GAZ_PRED)
+    ent = spans.select(
+        "doc_id",
+        F.concat_ws(
+            ":", F.col("entity_type"), F.regexp_replace("surface", " ", "_")
+        ).alias("canonical"),
+    ).distinct()
+    a = ent.select("doc_id", F.col("canonical").alias("subj"))
+    b = ent.select("doc_id", F.col("canonical").alias("obj"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("subj") < F.col("obj"))
+        .groupBy("subj", "obj")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def q_kg_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: per-language corpus stats incl. mention density."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.size(ws_tokens()).cast("long").alias("n_tok"))
+    spans = (
+        gaz_spans(docs, GAZ_PRED)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    per_doc = toks.join(spans, "doc_id", "left").na.fill({"n_mentions": 0})
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_mentions").alias("n_mentions"),
+        (F.sum("n_mentions") * 1.0 / F.sum("n_tok")).alias("mention_density"),
+    )
+
+
+def q_kg_tokenize_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ws_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+# --- relational family ------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with order-independent sums."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        _isum(F.col("l_quantity")).alias("sum_qty"),
+        _isum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _isum(disc_price).alias("sum_disc_price"),
+        _isum(charge).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, filter, agg, deterministic top-10."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_isum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "revenue",
+        )
+    )
+
+
+def q_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group over a broadcast-dim join."""
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_sup = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(_isum(rev).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue").desc(), F.col("s_suppkey")
+    )
+    return (
+        per_sup.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "s_suppkey", "s_name", "revenue", "rk")
+    )
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregate (the reference's micro-metric rollup, E2)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        _isum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 sessionization on the events stream table: 30-min gap rule."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.select("user_id", "ts").withColumn("is_new", gap).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("dur_s").alias("total_active_s"),
+    )
+
+
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function family: regex JSON extraction + exact avgs."""
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("""try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)""")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (_isum(F.col("value")) / F.count("*")).alias("avg_value"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k) * 1.0 / F.count("*")).alias("avg_k"),
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (X3 shape) on the relational schema."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dimension star join: region ⋈ nation ⋈ customer ⋈ orders."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _isum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+# --- training-data-pipeline families ----------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load(spark, sf_dir, "documents"))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.doc_fingerprints(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-shared-shingle Jaccard (oracle of the LSH-verified path)."""
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production shape: MinHash-LSH candidates → exact Jaccard verify."""
+    return dedup.lsh_verified_jaccard(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.lsh_cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simsearch.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.2
+    )
+
+
+# --- non-SQL-expressible (rows-only checks) ----------------------------------
+
+
+def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual KG pipeline (Arrow-UDF detect/classify, linking, triple
+    emission) on the deterministic synthetic corpus — not SQL-expressible
+    (mapInPandas stages), driver records rows-only."""
+    from . import corpus, pipeline
+    from .ops.assemble import assemble_untyped
+    from .ops.classify import classify_mentions
+    from .ops.detect import detect_spans
+    from .ops.link import link_mentions
+    from .ops.segment import segment_pages
+    from .ops.triples import make_triples
+
+    pg = corpus.gen_pages_with_gold(spark, n_pages=200)
+    sents = segment_pages(corpus.pages(pg))
+    mentions = classify_mentions(assemble_untyped(detect_spans(sents))).drop("tokens")
+    linked = link_mentions(mentions, pipeline.alias_dim(spark))
+    return make_triples(linked)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (decode stubbed
+    deterministically — no codec libs in the container)."""
+    from .ops import multimodal
+
+    assets = multimodal.synth_assets(spark, 200)
+    return multimodal.extract_features(assets).drop("feature")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL twins
+
+
+def _oracles() -> dict[str, str]:
+    pred_spans = _gaz_spans_sql(GAZ_PRED)
+    gold_spans = _gaz_spans_sql(GAZ_GOLD)
+    eps = EPS_ANALYSIS
+    vocab = sorted(set(GAZ_PRED) | set(GAZ_GOLD) | set(STOPWORDS["en"]))
+    vocab_sql = ", ".join(f"'{w}'" for w in vocab)
+    toks = f"regexp_extract_all(text, '{TOKEN_WS_RE}')"
+    return {
+        "kg_span_assembly": f"""
+            SELECT doc_id, start, "end", entity_type, surface
+            FROM ({pred_spans})
+        """,
+        "kg_mention_counts": f"""
+            SELECT entity_type, surface, count(*) AS n_mentions
+            FROM ({pred_spans}) GROUP BY 1, 2
+        """,
+        "kg_eval_f1": f"""
+            WITH p AS (SELECT DISTINCT doc_id, start, "end", entity_type FROM ({pred_spans})),
+            g AS (SELECT DISTINCT doc_id, start, "end", entity_type FROM ({gold_spans})),
+            j AS (
+              SELECT coalesce(p.entity_type, g.entity_type) AS tag,
+                     (p.doc_id IS NOT NULL AND g.doc_id IS NOT NULL) AS is_tp,
+                     (p.doc_id IS NOT NULL AND g.doc_id IS NULL) AS is_fp,
+                     (p.doc_id IS NULL AND g.doc_id IS NOT NULL) AS is_fn
+              FROM p FULL OUTER JOIN g USING (doc_id, start, "end", entity_type)
+            ),
+            counts AS (
+              SELECT tag,
+                     CAST(sum(CASE WHEN is_tp THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(sum(CASE WHEN is_fp THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(sum(CASE WHEN is_fn THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              FROM j GROUP BY tag
+            ),
+            per_tag AS (
+              SELECT tag, tp, fp, fn,
+                     tp * 1.0 / (tp + fp + {eps}) AS p,
+                     tp * 1.0 / (tp + fn + {eps}) AS r,
+                     2.0 * (tp * 1.0 / (tp + fp + {eps})) * (tp * 1.0 / (tp + fn + {eps}))
+                       / ((tp * 1.0 / (tp + fp + {eps})) + (tp * 1.0 / (tp + fn + {eps})) + {eps}) AS f1
+              FROM counts
+            ),
+            micro AS (
+              SELECT '__micro__' AS tag, tp, fp, fn,
+                     tp * 1.0 / (tp + fp + {eps}) AS p,
+                     tp * 1.0 / (tp + fn + {eps}) AS r,
+                     2.0 * (tp * 1.0 / (tp + fp + {eps})) * (tp * 1.0 / (tp + fn + {eps}))
+                       / ((tp * 1.0 / (tp + fp + {eps})) + (tp * 1.0 / (tp + fn + {eps})) + {eps}) AS f1
+              FROM (SELECT CAST(sum(tp) AS BIGINT) tp, CAST(sum(fp) AS BIGINT) fp,
+                           CAST(sum(fn) AS BIGINT) fn FROM counts)
+            ),
+            macro AS (
+              SELECT '__macro__' AS tag, CAST(NULL AS BIGINT) tp, CAST(NULL AS BIGINT) fp,
+                     CAST(NULL AS BIGINT) fn, CAST(NULL AS DOUBLE) p, CAST(NULL AS DOUBLE) r,
+                     list_sum(list_sort(list(f1))) / (count(*) + {eps}) AS f1
+              FROM per_tag WHERE tp + fn > 0
+            )
+            SELECT * FROM per_tag UNION ALL SELECT * FROM micro UNION ALL SELECT * FROM macro
+        """,
+        "kg_confusion": f"""
+            WITH p AS (SELECT doc_id, start, "end", entity_type AS pred_tag FROM ({pred_spans})),
+            g AS (SELECT doc_id, start, "end", entity_type AS gold_tag FROM ({gold_spans}))
+            SELECT gold_tag, pred_tag, count(*) AS n
+            FROM g JOIN p USING (doc_id, start, "end")
+            GROUP BY 1, 2
+        """,
+        "kg_overlap_analysis": f"""
+            WITH p AS (SELECT doc_id, start AS p_start, "end" AS p_end, entity_type AS p_tag FROM ({pred_spans})),
+            g AS (SELECT doc_id, start AS g_start, "end" AS g_end, entity_type AS g_tag FROM ({gold_spans}))
+            SELECT {_OVERLAP_KIND_SQL} AS overlap_kind, count(*) AS n
+            FROM p JOIN g USING (doc_id)
+            WHERE NOT (p_start > g_end OR p_end < g_start)
+            GROUP BY 1
+        """,
+        "kg_oov_tokens": f"""
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest({toks}) AS token FROM documents
+            ) WHERE token NOT IN ({vocab_sql})
+            GROUP BY token
+        """,
+        "kg_bigram_topk": f"""
+            SELECT bigram, count(*) AS n FROM (
+              SELECT unnest(list_transform(range(1, greatest(len({toks}) - 1, 0) + 1),
+                     i -> array_to_string({toks}[i:i+1], ' '))) AS bigram
+              FROM documents
+            ) GROUP BY bigram HAVING count(*) >= 5
+        """,
+        "kg_cooccurrence": f"""
+            WITH ent AS (
+              SELECT DISTINCT doc_id,
+                     entity_type || ':' || replace(surface, ' ', '_') AS canonical
+              FROM ({pred_spans})
+            )
+            SELECT a.canonical AS subj, b.canonical AS obj, count(*) AS n_docs
+            FROM ent a JOIN ent b USING (doc_id)
+            WHERE a.canonical < b.canonical
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "kg_doc_stats": f"""
+            WITH tok AS (
+              SELECT doc_id, lang, CAST(len({toks}) AS BIGINT) AS n_tok FROM documents
+            ),
+            sp AS (SELECT doc_id, count(*) AS n_mentions FROM ({pred_spans}) GROUP BY 1)
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(sum(coalesce(n_mentions, 0)) AS BIGINT) AS n_mentions,
+                   sum(coalesce(n_mentions, 0)) * 1.0 / sum(n_tok) AS mention_density
+            FROM tok LEFT JOIN sp USING (doc_id)
+            GROUP BY lang
+        """,
+        "kg_tokenize_topk": f"""
+            SELECT token, n FROM (
+              SELECT token, count(*) AS n FROM (
+                SELECT unnest({toks}) AS token FROM documents
+              ) GROUP BY token
+            ) ORDER BY n DESC, token LIMIT 50
+        """,
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_isum_sql('l_quantity')} AS sum_qty,
+                   {_isum_sql('l_extendedprice')} AS sum_base_price,
+                   {_isum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                   {_isum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+                   {_isum_sql('l_quantity')} / count(*) AS avg_qty,
+                   {_isum_sql('l_extendedprice')} / count(*) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_by_revenue": f"""
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   {_isum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "top_suppliers_per_nation": f"""
+            SELECT n_name, s_suppkey, s_name, revenue, rk FROM (
+              SELECT n_name, s_suppkey, s_name, revenue,
+                     CAST(row_number() OVER (
+                       PARTITION BY n_name ORDER BY revenue DESC, s_suppkey
+                     ) AS INT) AS rk
+              FROM (
+                SELECT n_name, s_suppkey, s_name,
+                       {_isum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY n_name, s_suppkey, s_name
+              )
+            ) WHERE rk <= 3
+        """,
+        "orders_rollup": f"""
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                   {_isum_sql('o_totalprice')} AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "events_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM lagged
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            ),
+            per_session AS (
+              SELECT user_id, session_id, count(*) AS n_events,
+                     date_diff('second', min(ts), max(ts)) AS dur_s
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   max(n_events) AS max_session_events,
+                   CAST(sum(dur_s) AS BIGINT) AS total_active_s
+            FROM per_session GROUP BY user_id
+        """,
+        "events_type_stats": f"""
+            SELECT event_type, count(*) AS n,
+                   {_isum_sql('value')} / count(*) AS avg_value,
+                   CAST(sum(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   sum(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) * 1.0
+                         / count(*) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT DISTINCT o_custkey FROM orders)
+        """,
+        "revenue_by_region": f"""
+            SELECT r_name, count(*) AS n_orders,
+                   {_isum_sql('o_totalprice')} AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "text_token_stats": textstats.token_stats_sql(),
+        "text_quality": textstats.quality_scores_sql(),
+        "text_lang_id": textstats.lang_id_sql(),
+        "text_fingerprint": textstats.doc_fingerprints_sql(),
+        "dedup_exact": dedup.exact_dedup_sql(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
+        "dedup_lsh_jaccard": dedup.lsh_verified_jaccard_sql(),
+        "dedup_simhash": dedup.simhash_sql(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_sql(),
+        "ann_cosine_topk": simsearch.cosine_topk_sql(),
+        "ann_lsh_topk": simsearch.lsh_cosine_topk_sql(),
+        "emb_near_dup": simsearch.embedding_near_dup_pairs_sql(threshold=0.2),
+    }
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_span_assembly": q_kg_span_assembly,
+    "kg_mention_counts": q_kg_mention_counts,
+    "kg_eval_f1": q_kg_eval_f1,
+    "kg_confusion": q_kg_confusion,
+    "kg_overlap_analysis": q_kg_overlap_analysis,
+    "kg_oov_tokens": q_kg_oov_tokens,
+    "kg_bigram_topk": q_kg_bigram_topk,
+    "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_doc_stats": q_kg_doc_stats,
+    "kg_tokenize_topk": q_kg_tokenize_topk,
+    "pricing_summary": q_pricing_summary,
+    "top_orders_by_revenue": q_top_orders_by_revenue,
+    "top_suppliers_per_nation": q_top_suppliers_per_nation,
+    "orders_rollup": q_orders_rollup,
+    "events_sessionize": q_events_sessionize,
+    "events_type_stats": q_events_type_stats,
+    "customers_without_orders": q_customers_without_orders,
+    "revenue_by_region": q_revenue_by_region,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "emb_near_dup": q_emb_near_dup,
+    "pipeline_triples": q_pipeline_triples,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = _oracles()

@@ -83,7 +83,7 @@ def main() -> None:
         t0 = time.time()
         summary = run_pipeline(
             spark, workdir, n_pages=n_pages, resume=False, evaluate=False,
-            triple_partitions=max(cpus * 2, 32),
+            triple_partitions=max(cpus * 2, 32), granularity="fast",
         )
         timings["kg_pipeline"] = round(time.time() - t0, 3)
     finally:

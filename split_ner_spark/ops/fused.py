@@ -1,0 +1,99 @@
+"""Fused python pass: corpus-gen → extract → segment → detect → assemble →
+classify in ONE ``mapInPandas`` stage.
+
+Why this exists: chained ``mapInPandas`` stages each get their OWN python
+worker per task, so a 3-deep python chain at ``local[32]`` runs ~96
+concurrent python processes — measured 3.3x slow-down vs ``local[8]``
+(oversubscription + a JVM↔python Arrow boundary between every pair).
+Fusing the per-row python logic into one UDF restores one worker per task
+and one Arrow crossing — the python-side analog of whole-stage codegen,
+and the reason SURVEY §2.10 fixes the UDF surface to as few boundaries as
+possible.
+
+Semantics are IDENTICAL to the staged operators: the fused body calls the
+same pure-python twins (reference_impl.extract_text/ tokenize_fast/
+segment/ get_spans_bioes, detect.DeterministicScorer, classify_surface)
+that the staged Spark operators are pinned against; a test asserts
+fused == staged row-for-row.
+
+At a real 100 TB deployment the same fusion applies unchanged: the UDF
+reads ``pages`` rows instead of generating them (swap ``gen`` for the
+Iceberg scan) and the two transformer forwards replace the surrogate
+scorer inside the single worker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .. import corpus
+from ..reference_impl import extract_text, get_spans_bioes, segment, tokenize_fast
+from .classify import classify_surface
+from .detect import DeterministicScorer
+
+MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("detect_score", T.DoubleType()),
+        T.StructField("entity_type", T.StringType()),
+    ]
+)
+
+
+def _mentions_for_page(page: dict, scorer: DeterministicScorer) -> list[tuple]:
+    if page["lang"] != "en":
+        return []
+    toks = tokenize_fast(extract_text(None, page["text"]))
+    out = []
+    for sid, sent in enumerate(segment(toks)):
+        labels = scorer.detect_labels([sent])[0]
+        score = round(
+            1.0 - 1.0 / (2.0 + sum(1 for x in labels if x != "O")), 6
+        )
+        for s, e in get_spans_bioes(labels):
+            surface = " ".join(sent[s : e + 1])
+            out.append(
+                (page["url"], sid, s, e, surface, score, classify_surface(surface))
+            )
+    return out
+
+
+def fused_mentions(
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = corpus.SEED,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic corpus → typed mentions in one python stage.
+
+    Row-identical to ``classify_mentions(assemble_untyped(detect_spans(
+    segment_pages(corpus.pages(gen)))))`` (pinned by tests)."""
+    registry = corpus.build_registry(seed)
+    if partitions is None:
+        partitions = max(8, spark.sparkContext.defaultParallelism)
+    scorer = DeterministicScorer()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for pid in pdf["id"]:
+                page = corpus._gen_page(int(pid), registry, seed)
+                rows.extend(_mentions_for_page(page, scorer))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "sent_id", "start", "end", "surface",
+                    "detect_score", "entity_type",
+                ],
+            )
+
+    ids = spark.range(0, n_pages, 1, partitions)
+    return ids.mapInPandas(run, schema=MENTIONS_SCHEMA)

@@ -41,8 +41,8 @@ def link_mentions(
     mentions: DataFrame,
     alias_df: DataFrame,
     jaccard_threshold: float = 0.55,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int = 16,
+    bands: int = 8,
 ) -> DataFrame:
     """mentions(..., surface, entity_type) × alias(alias, canonical_id,
     entity_type) → + canonical_id, linked_via, final entity_type
@@ -57,9 +57,15 @@ def link_mentions(
         .dropDuplicates(["alias_norm"])
     )
 
+    # the distinct-surface dimension is consumed by THREE branches (exact,
+    # fuzzy-miss, self); cache it so each branch does not re-scan +
+    # re-shuffle the mention fact table. At web scale this table is
+    # |distinct surfaces| ≪ |mentions| — the reference memoizes
+    # per-distinct-token the same way (dataset_qa.py:152-155).
     surfaces = (
         mentions.select(norm_surface_col(F.col("surface")).alias("surface_norm"))
         .distinct()
+        .cache()
     )
 
     exact = surfaces.join(
@@ -100,7 +106,10 @@ def link_mentions(
         .select("surface_norm", "canonical_id", "dict_type", F.lit("lsh").alias("linked_via"))
     )
 
-    linked_dim = exact.unionByName(fuzzy)
+    # cache: the dictionary-linked dimension feeds BOTH the self-link
+    # anti-join and the final union — without it the LSH join subplan
+    # executes twice.
+    linked_dim = exact.unionByName(fuzzy).cache()
     self_linked = (
         surfaces.join(linked_dim, "surface_norm", "left_anti")
         .select(
@@ -110,11 +119,16 @@ def link_mentions(
             F.lit("self").alias("linked_via"),
         )
     )
-    full_dim = linked_dim.unionByName(self_linked)
+    # cache the final surface→entity dimension (it is as small as
+    # |distinct surfaces|), then let AQE pick broadcast vs shuffle for the
+    # fact join — at 10^12 docs this dimension can exceed the broadcast
+    # budget, and a forced broadcast of a multi-branch subplan also made
+    # Spark re-execute all three branches inside the broadcast build.
+    full_dim = linked_dim.unionByName(self_linked).cache()
 
     out = (
         mentions.withColumn("surface_norm", norm_surface_col(F.col("surface")))
-        .join(F.broadcast(full_dim), "surface_norm")
+        .join(full_dim, "surface_norm")
         .withColumn("entity_type", F.coalesce(F.col("dict_type"), F.col("entity_type")))
         .drop("dict_type")
     )

@@ -68,8 +68,9 @@ def salted_by_subject(
     (exact count agg — cheap: one int per distinct subject; at extreme
     cardinality swap in approx freq-sketch over a sample).
     Deterministic: salt is a hash of the full triple, not a random()."""
-    counts = triples.groupBy("subj").agg(F.count("*").alias("c"))
-    total = triples.count()
+    counts = triples.groupBy("subj").agg(F.count("*").alias("c")).cache()
+    # total from the per-subject counts — one pass over `triples`, not two
+    total = counts.agg(F.sum("c")).collect()[0][0] or 0
     hot = counts.filter(F.col("c") > hot_fraction * total).select(
         "subj", F.lit(True).alias("_hot")
     )

@@ -57,6 +57,18 @@ class StageCommitter:
     def is_committed(self, stage: str) -> bool:
         return os.path.exists(self._marker(stage))
 
+    @staticmethod
+    def _footer_counts(table_dir: str) -> list[tuple[str, int]]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for root, _dirs, files in os.walk(table_dir):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    path = os.path.join(root, f)
+                    out.append((f, pq.ParquetFile(path).metadata.num_rows))
+        return out
+
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self.path(stage))
 
@@ -78,20 +90,21 @@ class StageCommitter:
             shutil.rmtree(final)
         os.rename(tmp, final)
         committed = spark.read.parquet(final)
-        per_file = (
-            committed.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
-        rows = sum(r["count"] for r in per_file)
+        # per-partition lineage from parquet footers (driver-side metadata
+        # read, zero Spark jobs — an extra count job per stage measurably
+        # hurt small-stage wall time and contributes nothing at scale; a
+        # real deployment reads the same counts from the Iceberg snapshot
+        # manifest).
+        per_file = self._footer_counts(final)
+        rows = sum(n for _, n in per_file)
         with open(self.lineage_path, "a") as fh:
-            for r in per_file:
+            for fname, n in per_file:
                 fh.write(
                     json.dumps(
                         {
                             "stage": stage,
-                            "partition_file": os.path.basename(r["file"]),
-                            "rows": r["count"],
+                            "partition_file": fname,
+                            "rows": n,
                             "wall_ms": wall_ms,
                         }
                     )
@@ -128,8 +141,18 @@ def run_pipeline(
     resume: bool = True,
     evaluate: bool = True,
     triple_partitions: int = 64,
+    granularity: str = "full",
 ) -> dict:
     """Full pipeline over the deterministic synthetic corpus.
+
+    ``granularity``:
+    - ``"full"`` — commit every stage (fine-grained resume; default).
+    - ``"fast"`` — one fused lazy DAG with two commit points (mentions,
+      triples). The chain gen→segment→detect→assemble→classify is narrow
+      (no shuffle), so fusing removes four materialization barriers — the
+      Spark-first shape (single DAG) that the reference's file-glued
+      pipeline lacks (/root/reference/README.md:130-148); resume still
+      works at the two commits.
 
     Returns a summary dict (rows per stage, triple P/R when evaluate=True,
     wall seconds, triples/sec)."""
@@ -139,38 +162,65 @@ def run_pipeline(
     def build_pages_gold():
         return corpus.gen_pages_with_gold(spark, n_pages, seed)
 
-    pg = sc.stage("pages_gold", build_pages_gold, resume)
-    pages = corpus.pages(pg)
+    pg = None
+    if granularity == "fast":
+        from .ops.fused import fused_mentions
 
-    sents = sc.stage("sentences", lambda: segment_pages(pages), resume)
-    detected = sc.stage("detected", lambda: detect_spans(sents), resume)
-    mentions = sc.stage(
-        "mentions",
-        lambda: classify_mentions(assemble_untyped(detected)).drop("tokens"),
-        resume,
-    )
-    linked = sc.stage(
-        "linked", lambda: link_mentions(mentions, alias_dim(spark, seed)), resume
-    )
-    triples = sc.stage(
-        "triples",
-        lambda: salted_by_subject(make_triples(linked), triple_partitions),
-        resume,
-    )
+        mentions = sc.stage(
+            "mentions",
+            lambda: fused_mentions(spark, n_pages, seed),
+            resume,
+        )
+        # cache the linked mentions: make_triples reads them four times
+        # (typed/mentioned/co-mention a+b) and the salting pass twice more —
+        # without a materialization point each pass re-executes the link
+        # join. In full mode the committed "linked" table plays this role.
+        linked = link_mentions(mentions, alias_dim(spark, seed)).cache()
+        triples = sc.stage(
+            "triples",
+            lambda: salted_by_subject(make_triples(linked), triple_partitions),
+            resume,
+        )
+        linked.unpersist()
+        stage_names = ["mentions", "triples"]
+    else:
+        pg = sc.stage("pages_gold", build_pages_gold, resume)
+        pages = corpus.pages(pg)
+
+        sents = sc.stage("sentences", lambda: segment_pages(pages), resume)
+        detected = sc.stage("detected", lambda: detect_spans(sents), resume)
+        mentions = sc.stage(
+            "mentions",
+            lambda: classify_mentions(assemble_untyped(detected)).drop("tokens"),
+            resume,
+        )
+        linked = sc.stage(
+            "linked", lambda: link_mentions(mentions, alias_dim(spark, seed)), resume
+        )
+        triples = sc.stage(
+            "triples",
+            lambda: salted_by_subject(make_triples(linked), triple_partitions),
+            resume,
+        )
+        stage_names = [
+            "pages_gold", "sentences", "detected", "mentions", "linked", "triples"
+        ]
 
     wall_s = time.time() - t_start
-    n_triples = triples.count()
+    n_triples = json.load(open(os.path.join(workdir, "_COMMIT.triples.json")))["rows"]
     summary = {
         "n_pages": n_pages,
         "rows": {
             s: json.load(open(os.path.join(workdir, f"_COMMIT.{s}.json")))["rows"]
-            for s in ["pages_gold", "sentences", "detected", "mentions", "linked", "triples"]
+            for s in stage_names
         },
         "wall_s": round(wall_s, 3),
         "triples": n_triples,
         "triples_per_sec": round(n_triples / wall_s, 2) if wall_s > 0 else None,
     }
     if evaluate:
+        if pg is None:
+            pg = build_pages_gold()
         gold = corpus.gold_mentions(pg)
         golden = corpus.golden_triples(gold)
         summary["triple_match"] = triple_pr(triples, golden)

@@ -75,3 +75,53 @@ def canonical_components(
         .join(cc, "node", "left")
         .select("node", F.coalesce("component", "node").alias("component"))
     )
+
+
+def canonicalize_self_linked(
+    linked: DataFrame,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Merge variant UNKNOWN surfaces: mentions the dictionary could not
+    link (linked_via='self') whose normalized surfaces are near-duplicates
+    (char-3-gram Jaccard ≥ threshold under LSH blocking) collapse into one
+    component; canonical_id becomes ``surface:<component representative>``.
+
+    This is the C1-upgrade canonicalization of SURVEY §2 applied inside
+    the pipeline: dictionary-linked mentions are untouched; candidate new
+    entities are deduplicated before triple emission. Cost scales with
+    |distinct unknown surfaces|, not |mentions|.
+    """
+    from .lsh import char_shingles_col, lsh_self_join  # local import: no cycle
+
+    self_surf = (
+        linked.filter(F.col("linked_via") == "self")
+        .select("surface_norm")
+        .distinct()
+        .cache()
+    )
+    sh = self_surf.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
+    pairs = lsh_self_join(
+        sh, "surface_norm", num_hashes=num_hashes, bands=bands,
+        threshold=jaccard_threshold,
+    )
+    comp = canonical_components(
+        self_surf.select(F.col("surface_norm").alias("node")),
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+    ).select(
+        F.col("node").alias("surface_norm"),
+        F.concat(F.lit("surface:"), F.col("component")).alias("_canon2"),
+    )
+    out = (
+        linked.join(comp, "surface_norm", "left")
+        .withColumn(
+            "canonical_id",
+            F.when(
+                (F.col("linked_via") == "self") & F.col("_canon2").isNotNull(),
+                F.col("_canon2"),
+            ).otherwise(F.col("canonical_id")),
+        )
+        .drop("_canon2")
+    )
+    return out

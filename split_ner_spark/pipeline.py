@@ -34,6 +34,7 @@ from . import corpus
 from .ops.assemble import assemble_untyped
 from .ops.classify import classify_mentions
 from .ops.detect import detect_spans
+from .ops.canon import canonicalize_self_linked
 from .ops.link import link_mentions
 from .ops.metrics import triple_pr
 from .ops.segment import segment_pages
@@ -175,7 +176,9 @@ def run_pipeline(
         # (typed/mentioned/co-mention a+b) and the salting pass twice more —
         # without a materialization point each pass re-executes the link
         # join. In full mode the committed "linked" table plays this role.
-        linked = link_mentions(mentions, alias_dim(spark, seed)).cache()
+        linked = canonicalize_self_linked(
+            link_mentions(mentions, alias_dim(spark, seed))
+        ).cache()
         triples = sc.stage(
             "triples",
             lambda: salted_by_subject(make_triples(linked), triple_partitions),
@@ -195,7 +198,11 @@ def run_pipeline(
             resume,
         )
         linked = sc.stage(
-            "linked", lambda: link_mentions(mentions, alias_dim(spark, seed)), resume
+            "linked",
+            lambda: canonicalize_self_linked(
+                link_mentions(mentions, alias_dim(spark, seed))
+            ),
+            resume,
         )
         triples = sc.stage(
             "triples",

@@ -568,6 +568,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph: iterative
+    min-label propagation (the canonicalization operator, SURVEY C1), with
+    a recursive-CTE oracle in DuckDB."""
+    from .ops.canon import connected_components
+
+    pairs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk(load(spark, sf_dir, "embeddings"))
 
@@ -837,6 +850,22 @@ def _oracles() -> dict[str, str]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs_sql(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs_sql(),
         "dedup_lsh_jaccard": dedup.lsh_verified_jaccard_sql(),
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({dedup.minhash_lsh_pairs_sql()}),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs
+            ),
+            cc AS (
+              SELECT src AS node, src AS comp FROM edges
+              UNION
+              SELECT e.dst AS node, cc.comp AS comp
+              FROM cc JOIN edges e ON cc.node = e.src
+            )
+            SELECT node AS doc_id, min(comp) AS component_id
+            FROM cc GROUP BY node
+        """,
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(),
         "ann_cosine_topk": simsearch.cosine_topk_sql(),
@@ -872,6 +901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_jaccard": q_dedup_lsh_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,

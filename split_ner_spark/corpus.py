@@ -181,8 +181,12 @@ def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
     for sent_id in range(n_sents):
         # a sentence is a list of cells; entity cells carry a gold payload,
         # so offsets are computed once, after all inserts — order-safe.
+        # 10-28 filler tokens/sentence ≈ real web-page sentence lengths;
+        # entity counts are independent of this, so text volume (python
+        # extract/segment/detect work) scales without inflating the
+        # mention/triple shuffle volume.
         cells: list[tuple[list[str], dict | None]] = [
-            ([rng.choice(fillers)], None) for _ in range(rng.randint(3, 9))
+            ([rng.choice(fillers)], None) for _ in range(rng.randint(10, 28))
         ]
 
         def insert_sep(cell: tuple[list[str], dict | None]) -> None:

@@ -21,16 +21,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(rows: list, spark, schema) -> DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    max_iter: int = 25,
+    src: str = "src",
+    dst: str = "dst",
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) undirected → (node, component) where component is
-    the min node id (by string ordering) in the component."""
+    the min node id (by the column's ordering) in the component.
+
+    Hybrid: when the (deduplicated) edge set is small enough to hold on
+    the driver, run union-find locally — a tiny graph should not pay
+    5+ distributed jobs per iteration. Past ``driver_threshold`` edges,
+    the iterative min-label-propagation path below takes over; at true
+    web scale that is the only option."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    head = e.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
+        schema = e.select(
+            F.col("u").alias("node"), F.col("u").alias("component")
+        ).schema
+        return _driver_union_find([(r["u"], r["v"]) for r in head], e.sparkSession, schema)
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint()
     labels = (
@@ -95,17 +132,28 @@ def canonicalize_self_linked(
     """
     from .lsh import char_shingles_col, lsh_self_join  # local import: no cycle
 
+    # eager-materialize the tiny unknown-surface dimension ONCE: the CC
+    # loop below runs many small jobs, and without a materialization point
+    # each would rescan the (large, cached-but-columnar) fact table.
     self_surf = (
         linked.filter(F.col("linked_via") == "self")
         .select("surface_norm")
         .distinct()
         .cache()
     )
+    if self_surf.count() == 0:
+        self_surf.unpersist()
+        return linked
     sh = self_surf.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
     pairs = lsh_self_join(
         sh, "surface_norm", num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold,
-    )
+    ).cache()
+    if pairs.isEmpty():
+        # no near-duplicate unknown surfaces — nothing to merge
+        pairs.unpersist()
+        self_surf.unpersist()
+        return linked
     comp = canonical_components(
         self_surf.select(F.col("surface_norm").alias("node")),
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),

@@ -35,6 +35,19 @@ from ..reference_impl import extract_text, get_spans_bioes, segment, tokenize_fa
 from .classify import classify_surface
 from .detect import DeterministicScorer
 
+MENTIONS_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("sent_id", T.IntegerType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+        T.StructField("detect_score", T.DoubleType()),
+        T.StructField("entity_type", T.StringType()),
+    ]
+)
+
 MENTIONS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType()),
@@ -78,7 +91,10 @@ def fused_mentions(
     segment_pages(corpus.pages(gen)))))`` (pinned by tests)."""
     registry = corpus.build_registry(seed)
     if partitions is None:
-        partitions = max(8, spark.sparkContext.defaultParallelism)
+        # 4x overdecomposition: with exactly one task-wave the slowest
+        # task sets the wall (measured ~20% straggler tail); 4 waves of
+        # smaller tasks smooth it — the standard 2-4x-cores rule.
+        partitions = max(8, spark.sparkContext.defaultParallelism * 4)
     scorer = DeterministicScorer()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,3 +113,31 @@ def fused_mentions(
 
     ids = spark.range(0, n_pages, 1, partitions)
     return ids.mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def mentions_from_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, warc_ts, text, lang, ...) → typed mentions (+ warc_ts),
+    one fused python stage. Stream-safe (stateless per batch): this is the
+    operator the incremental/streaming path uses, and the shape a real
+    deployment runs over an Iceberg pages scan."""
+    scorer = DeterministicScorer()
+    src = pages.select("url", "warc_ts", "text", "lang")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, ts, text, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["text"], pdf["lang"]
+            ):
+                page = {"url": url, "text": text, "lang": lang}
+                for m in _mentions_for_page(page, scorer):
+                    rows.append((m[0], ts) + m[1:])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "sent_id", "start", "end", "surface",
+                    "detect_score", "entity_type",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=MENTIONS_TS_SCHEMA)

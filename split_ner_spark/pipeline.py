@@ -176,14 +176,24 @@ def run_pipeline(
         # (typed/mentioned/co-mention a+b) and the salting pass twice more —
         # without a materialization point each pass re-executes the link
         # join. In full mode the committed "linked" table plays this role.
-        linked = canonicalize_self_linked(
-            link_mentions(mentions, alias_dim(spark, seed))
-        ).cache()
+        linked = (
+            canonicalize_self_linked(
+                link_mentions(mentions, alias_dim(spark, seed))
+            )
+            # make_triples only needs these four columns — a slim cache is
+            # ~4x smaller than the full mention rows
+            .select("url", "sent_id", "canonical_id", "entity_type")
+            .cache()
+        )
+        # cache the triple set too: the salting pass reads it once for
+        # heavy-hitter detection and once for the write
+        tri = make_triples(linked).cache()
         triples = sc.stage(
             "triples",
-            lambda: salted_by_subject(make_triples(linked), triple_partitions),
+            lambda: salted_by_subject(tri, triple_partitions),
             resume,
         )
+        tri.unpersist()
         linked.unpersist()
         stage_names = ["mentions", "triples"]
     else:

@@ -581,6 +581,141 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_kg_word_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 pattern featurization: char-class shape (type0) + 10-class word
+    type (reference dataset.py:192-335) per distinct token, with counts."""
+    import string
+
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ws_tokens()).alias("token"))
+    shape0 = F.translate(F.col("token"), lower + upper, "l" * 26 + "u" * 26)
+    word_type = (
+        F.when(F.col("token").rlike("^[a-z]+$"), "L")
+        .when(F.col("token").rlike("^[A-Z]+$"), "U")
+        .when(F.col("token").rlike("^[A-Z][a-z]+$"), "F")
+        .when(F.col("token").rlike("^[A-Za-z]+$"), "M")
+        .when(F.col("token").rlike("^[0-9]+$"), "D")
+        .when(F.col("token").rlike("^[^A-Za-z0-9]+$"), "P")
+        .when(F.col("token").rlike("^[A-Za-z0-9]+$"), "A")
+        .otherwise("B")
+    )
+    return tok.groupBy(
+        "token", shape0.alias("shape0"), word_type.alias("word_type")
+    ).agg(F.count("*").alias("n"))
+
+
+def q_kg_prediction_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 prediction diff: align two tagging runs by doc, keep divergences
+    (full outer join + inequality, general.py:608-647)."""
+    docs = load(spark, sf_dir, "documents")
+
+    def label_str(gaz: dict[str, str]):
+        return F.concat_ws(
+            "", F.transform(ws_tokens(), lambda t: F.coalesce(
+                _typ_col(t, gaz).substr(1, 1), F.lit("O")))
+        )
+
+    a = docs.select("doc_id", label_str(GAZ_PRED).alias("labels_a"))
+    b = docs.select("doc_id", label_str(GAZ_GOLD).alias("labels_b"))
+    return a.join(b, "doc_id", "full_outer").filter(
+        F.col("labels_a").isNull()
+        | F.col("labels_b").isNull()
+        | (F.col("labels_a") != F.col("labels_b"))
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 pivot aggregate: user x event_type count matrix (wide)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0)
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 deterministic sampling: hash-bucket sample (md5 of the key), the
+    reproducible analog of sample(fraction, seed) that both engines agree
+    on bit-for-bit — and the right way to sample at 10^12 rows (no RNG
+    state, stable under retries/partitioning)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(bucket == "0").select("doc_id", "lang", "source")
+
+
+def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 moment statistics with order-independent arithmetic: mean/stddev
+    from exact integer sums (sum, sum-of-squares), so partial-aggregation
+    order cannot perturb the doubles."""
+    ev = load(spark, sf_dir, "events")
+    vi = F.round(F.col("value") * 10000).cast("long")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vi).alias("_s"),
+        F.sum(vi * vi).alias("_ss"),
+    )
+    s = F.col("_s").cast("double") / 10000
+    ss = F.col("_ss").cast("double") / (10000.0 * 10000.0)
+    n = F.col("n").cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1.0))
+    return agg.select(
+        "event_type", "n", (s / n).alias("mean_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
+
+
+
+def q_kg_tag_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 conditional tag rewrite (reference split_tags, dataset.py:95-110):
+    spans whose surface matches a symbol/digit pattern get a SYMBOLIC_
+    prefixed type — a regexp-conditional rename after span assembly."""
+    spans = gaz_spans(load(spark, sf_dir, "documents"), GAZ_PRED)
+    new_type = F.when(
+        (F.col("entity_type") == "DATA") & F.col("surface").rlike("[^a-z ]|[0-9]"),
+        F.concat(F.lit("SYMBOLIC_"), F.col("entity_type")),
+    ).otherwise(F.col("entity_type"))
+    return (
+        spans.select("doc_id", "start", "end", new_type.alias("entity_type"), "surface")
+        .groupBy("entity_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+
+def q_kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 full semantics (pattern_analysis.py:43-97): frequent n-grams in
+    the +-2-token window around detected mentions, thresholded — the
+    context-pattern miner for weak supervision."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_tokens().alias("tokens"))
+    spans = gaz_spans(docs, GAZ_PRED).select("doc_id", "start", "end")
+    j = spans.join(toks, "doc_id")
+    start, end = F.col("start"), F.col("end")
+    lo = F.greatest(start - 1, F.lit(1))
+    left = F.when(start == 0, F.lit("")).otherwise(
+        F.array_join(F.slice("tokens", lo, start - lo + 1), " ")
+    )
+    right = F.array_join(F.slice("tokens", end + 2, 2), " ")
+    ctx = j.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("L").alias("side"), left.alias("context")),
+                F.struct(F.lit("R").alias("side"), right.alias("context")),
+            )
+        ).alias("c")
+    ).select("c.side", "c.context").filter(F.col("context") != "")
+    return ctx.groupBy("side", "context").agg(F.count("*").alias("n")).filter(
+        F.col("n") >= 5
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk(load(spark, sf_dir, "embeddings"))
 
@@ -868,6 +1003,90 @@ def _oracles() -> dict[str, str]:
         """,
         "dedup_simhash": dedup.simhash_sql(),
         "dedup_simhash_pairs": dedup.simhash_pairs_sql(),
+        "kg_word_shapes": f"""
+            SELECT token,
+                   translate(token, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'lllllllllllllllllllllllllluuuuuuuuuuuuuuuuuuuuuuuuuu') AS shape0,
+                   CASE
+                     WHEN regexp_full_match(token, '[a-z]+') THEN 'L'
+                     WHEN regexp_full_match(token, '[A-Z]+') THEN 'U'
+                     WHEN regexp_full_match(token, '[A-Z][a-z]+') THEN 'F'
+                     WHEN regexp_full_match(token, '[A-Za-z]+') THEN 'M'
+                     WHEN regexp_full_match(token, '[0-9]+') THEN 'D'
+                     WHEN regexp_full_match(token, '[^A-Za-z0-9]+') THEN 'P'
+                     WHEN regexp_full_match(token, '[A-Za-z0-9]+') THEN 'A'
+                     ELSE 'B'
+                   END AS word_type,
+                   count(*) AS n
+            FROM (SELECT unnest({toks}) AS token FROM documents)
+            GROUP BY 1, 2, 3
+        """,
+        "kg_prediction_diff": f"""
+            WITH a AS (
+              SELECT doc_id, array_to_string(list_transform({toks},
+                t -> coalesce(substr({_typ_case_sql('t', GAZ_PRED)}, 1, 1), 'O')), '') AS labels_a
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, array_to_string(list_transform({toks},
+                t -> coalesce(substr({_typ_case_sql('t', GAZ_GOLD)}, 1, 1), 'O')), '') AS labels_b
+              FROM documents
+            )
+            SELECT doc_id, labels_a, labels_b
+            FROM a FULL OUTER JOIN b USING (doc_id)
+            WHERE labels_a IS NULL OR labels_b IS NULL OR labels_a <> labels_b
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY user_id
+        """,
+        "sample_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        """,
+        "events_value_stats": """
+            SELECT event_type, n,
+                   (CAST(_s AS DOUBLE) / 10000) / CAST(n AS DOUBLE) AS mean_value,
+                   sqrt((CAST(_ss AS DOUBLE) / (10000.0 * 10000.0)
+                         - (CAST(_s AS DOUBLE) / 10000) * (CAST(_s AS DOUBLE) / 10000) / CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - 1.0)) AS stddev_value
+            FROM (
+              SELECT event_type, count(*) AS n,
+                     sum(CAST(round(value * 10000) AS BIGINT)) AS _s,
+                     sum(CAST(round(value * 10000) AS BIGINT) * CAST(round(value * 10000) AS BIGINT)) AS _ss
+              FROM events GROUP BY event_type
+            )
+        """,
+        "kg_tag_split": f"""
+            SELECT CASE WHEN entity_type = 'DATA' AND regexp_matches(surface, '[^a-z ]|[0-9]')
+                        THEN 'SYMBOLIC_' || entity_type ELSE entity_type END AS entity_type,
+                   count(*) AS n
+            FROM ({pred_spans})
+            GROUP BY 1
+        """,
+        "kg_mention_contexts": f"""
+            WITH sp AS (SELECT doc_id, start, "end" FROM ({pred_spans})),
+            tk AS (SELECT doc_id, {toks} AS tokens FROM documents),
+            ctx AS (
+              SELECT 'L' AS side,
+                     CASE WHEN start = 0 THEN ''
+                          ELSE array_to_string(tokens[greatest(start - 1, 1) : start], ' ')
+                     END AS context
+              FROM sp JOIN tk USING (doc_id)
+              UNION ALL
+              SELECT 'R' AS side,
+                     array_to_string(tokens["end" + 2 : "end" + 3], ' ') AS context
+              FROM sp JOIN tk USING (doc_id)
+            )
+            SELECT side, context, count(*) AS n
+            FROM ctx WHERE context <> ''
+            GROUP BY side, context HAVING count(*) >= 5
+        """,
         "ann_cosine_topk": simsearch.cosine_topk_sql(),
         "ann_lsh_topk": simsearch.lsh_cosine_topk_sql(),
         "emb_near_dup": simsearch.embedding_near_dup_pairs_sql(threshold=0.2),
@@ -904,6 +1123,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "kg_word_shapes": q_kg_word_shapes,
+    "kg_prediction_diff": q_kg_prediction_diff,
+    "events_pivot": q_events_pivot,
+    "sample_hash": q_sample_hash,
+    "events_value_stats": q_events_value_stats,
+    "kg_tag_split": q_kg_tag_split,
+    "kg_mention_contexts": q_kg_mention_contexts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "emb_near_dup": q_emb_near_dup,

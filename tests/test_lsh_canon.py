@@ -84,3 +84,18 @@ def test_jaccard_col(spark):
     df = spark.createDataFrame([(["a", "b"], ["b", "c"])], "x array<string>, y array<string>")
     v = df.select(jaccard_col(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
     assert abs(v - 1 / 3) < 1e-12
+
+
+def test_driver_and_distributed_components_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from split_ner_spark.ops.canon import connected_components
+
+    fast = {(r["node"], r["component"])
+            for r in connected_components(df).collect()}
+    loop = {(r["node"], r["component"])
+            for r in connected_components(df, driver_threshold=0).collect()}
+    assert fast == loop and len(fast) > 0

@@ -1,0 +1,65 @@
+"""Structured Streaming composition: the batch operators driven by a
+file-source stream, a watermarked windowed agg, and the foreachBatch
+incremental pipeline — all driven synchronously via availableNow /
+processAllAvailable (no wall-clock timers)."""
+
+from __future__ import annotations
+
+from split_ner_spark import corpus, streaming
+from split_ner_spark.pipeline import alias_dim
+
+
+def _write_page_batches(spark, path: str, n: int = 200) -> None:
+    pg = corpus.gen_pages_with_gold(spark, n)
+    corpus.pages(pg).repartition(4).write.mode("overwrite").parquet(path)
+
+
+def test_mention_count_stream(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    _write_page_batches(spark, src)
+    q = (
+        streaming.mention_count_stream(streaming.stream_pages(spark, src))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mention_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM mention_counts").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    types = {r["entity_type"] for r in rows}
+    assert "person" in types or "corporation" in types
+    # streaming result == batch result on the same data
+    batch = (
+        streaming.typed_mentions(spark.read.parquet(src))
+        .groupBy("entity_type")
+        .count()
+        .collect()
+    )
+    batch_totals = {r["entity_type"]: r["count"] for r in batch}
+    stream_totals: dict[str, int] = {}
+    for r in rows:
+        stream_totals[r["entity_type"]] = (
+            stream_totals.get(r["entity_type"], 0) + r["n_mentions"]
+        )
+    assert stream_totals == batch_totals
+
+
+def test_incremental_triples_foreachbatch(spark, tmp_path):
+    src = str(tmp_path / "pages")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    _write_page_batches(spark, src)
+    q = streaming.incremental_triples(spark, src, out, ckpt, alias_dim(spark))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).distinct()
+    assert got.count() > 0
+    assert set(got.columns) == {"subj", "pred", "obj"}
+    # restart with no new files → no duplicate reprocessing
+    n_before = spark.read.parquet(out).count()
+    q2 = streaming.incremental_triples(spark, src, out, ckpt, alias_dim(spark))
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before

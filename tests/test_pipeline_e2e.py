@@ -113,3 +113,16 @@ def test_stage_f1_report(spark, workdir, summary):
     _, macro = R.micro_macro(gold_tags)
     assert abs(rep2["__micro__"]["f1"] - mf1) < 1e-12
     assert abs(rep2["__macro__"]["f1"] - macro) < 1e-12
+
+
+def test_sources_fallback_roundtrip(spark, tmp_path):
+    """Iceberg jar absent in this container → the source layer must fall
+    back to the atomic-parquet committer with identical semantics."""
+    from split_ner_spark import sources
+
+    assert sources.iceberg_available(spark) is False
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    committed = sources.write_table(df, "t1", str(tmp_path), ["k"])
+    assert committed.count() == 100
+    again = sources.read_table(spark, "t1", str(tmp_path))
+    assert sorted(r["id"] for r in again.collect()) == list(range(100))

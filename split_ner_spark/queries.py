@@ -716,6 +716,24 @@ def q_kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join over part with a LIKE pushdown filter: revenue
+    and volume per brand for a part-type family."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_type").like("%ANDARD%"))
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _isum(F.col("l_quantity")).alias("sum_qty"),
+            _isum(rev).alias("revenue"),
+        )
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk(load(spark, sf_dir, "embeddings"))
 
@@ -1087,6 +1105,14 @@ def _oracles() -> dict[str, str]:
             FROM ctx WHERE context <> ''
             GROUP BY side, context HAVING count(*) >= 5
         """,
+        "parts_by_brand": f"""
+            SELECT p_brand, count(*) AS n_lines,
+                   {_isum_sql('l_quantity')} AS sum_qty,
+                   {_isum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type LIKE '%ANDARD%'
+            GROUP BY p_brand
+        """,
         "ann_cosine_topk": simsearch.cosine_topk_sql(),
         "ann_lsh_topk": simsearch.lsh_cosine_topk_sql(),
         "emb_near_dup": simsearch.embedding_near_dup_pairs_sql(threshold=0.2),
@@ -1130,6 +1156,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_stats": q_events_value_stats,
     "kg_tag_split": q_kg_tag_split,
     "kg_mention_contexts": q_kg_mention_contexts,
+    "parts_by_brand": q_parts_by_brand,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "emb_near_dup": q_emb_near_dup,

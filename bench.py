@@ -101,6 +101,23 @@ def main() -> None:
         "pipeline_triples": summary["triples"],
         "triples_per_sec": round(summary["triples"] / timings["kg_pipeline"], 2),
     }
+    # attach the latest two-cluster-size evidence (scripts/scaling_bench.py)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            s = json.load(fh)
+        out["scaling"] = {
+            "protocol": s.get("protocol"),
+            "n_pages": s.get("n_pages"),
+            "job_efficiency_N_to_4N": s.get("job_scaling_efficiency"),
+            "udf_stage_efficiency_N_to_4N": s.get("udf_stage_scaling_efficiency"),
+            "hardware_ceiling_efficiency": s.get("hardware_ceiling", {}).get(
+                "ceiling_efficiency"
+            ),
+            "triples_per_sec_N": s.get("runs", {}).get("4", {}).get("triples_per_sec"),
+            "triples_per_sec_4N": s.get("runs", {}).get("16", {}).get("triples_per_sec"),
+        }
     spark.stop()
     print(json.dumps(out))
 

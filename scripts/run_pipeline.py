@@ -7,11 +7,12 @@ Launch (BASELINE.json requirement — ``spark-submit --py-files``):
     spark-submit --master 'local[32]' \\
         --py-files dist/split_ner_spark.zip \\
         scripts/run_pipeline.py \\
-        --workdir /tmp/kg_run --pages 20000 [--resume] [--fast] [--evaluate]
+        --workdir /tmp/kg_run --pages 20000 [--no-resume] [--fast] [--evaluate]
 
 On a real cluster only ``--master`` (and executor memory/instances conf)
-changes; the script body is identical. The job is resumable: re-running
-with the same --workdir skips committed stages.
+changes; the script body is identical. The job is resumable BY DEFAULT:
+re-running with the same --workdir skips committed stages (pass
+--no-resume/--force to rebuild everything from scratch).
 """
 
 from __future__ import annotations
@@ -25,8 +26,10 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--pages", type=int, default=20000)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--resume", action="store_true",
-                    help="skip stages already committed in --workdir")
+    ap.add_argument("--no-resume", "--force", dest="resume",
+                    action="store_false", default=True,
+                    help="rebuild every stage even if committed in --workdir "
+                         "(default: resume from the last committed stage)")
     ap.add_argument("--fast", action="store_true",
                     help="fused two-commit DAG instead of per-stage commits")
     ap.add_argument("--evaluate", action="store_true",

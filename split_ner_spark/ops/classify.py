@@ -72,17 +72,29 @@ def classify_type_col(surface_col: F.Column) -> F.Column:
     )
 
 
-def classify_mentions(mentions: DataFrame, use_udf: bool = True) -> DataFrame:
+def classify_mentions(
+    mentions: DataFrame, use_udf: bool = False, scorer=None
+) -> DataFrame:
     """mentions_untyped → + entity_type (typed mentions, FIXTURES.md F3).
 
-    ``use_udf=True`` runs the Arrow-batched surrogate model (the production
-    UDF boundary where a real checkpoint would sit); ``False`` runs the
-    pure-Catalyst twin (used when the scorer is rule-expressible)."""
-    if not use_udf:
+    The default is the pure-Catalyst twin (``classify_type_col``): the
+    surrogate model is rule-expressible, so the shipped path stays inside
+    WholeStageCodegen — no Arrow crossing, no per-row Python. Tests pin
+    UDF == expression on every surface, so swapping is free.
+
+    ``use_udf=True`` (or passing a ``scorer``) runs the Arrow-batched UDF
+    boundary instead — the slot where a real transformer checkpoint sits
+    (e.g. :class:`split_ner_spark.hf_scorer.HFScorer`); ``scorer`` must
+    expose ``classify_surfaces(list[str]) -> list[str]``."""
+    if not use_udf and scorer is None:
         return mentions.withColumn("entity_type", classify_type_col(F.col("surface")))
 
     @F.pandas_udf(T.StringType())
     def _classify(surfaces: pd.Series) -> pd.Series:
+        if scorer is not None:
+            return pd.Series(
+                scorer.classify_surfaces(list(surfaces)), index=surfaces.index
+            )
         return surfaces.map(classify_surface)
 
     return mentions.withColumn("entity_type", _classify(F.col("surface")))

@@ -67,8 +67,18 @@ def exact_dedup_sql(doc_table: str = "documents") -> str:
     """
 
 
-def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per doc: (doc_id, shingle_hash)."""
+def shingle_arrays(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh:array<string>) — distinct md5'd k-token shingles per doc.
+
+    This is the SHARED upstream of the whole MinHash family: signatures,
+    band keys, shingle rows and set sizes all derive from it, so a
+    composition like :func:`lsh_verified_jaccard` pays the tokenize+md5
+    pass over raw text exactly once (cache/materialize this frame; at
+    10^12 docs it is the staging table between the scan and every dedup
+    consumer). The array is materialized through a Generate barrier
+    (``explode(array(...))``) because higher-order functions are not
+    codegen'd and projection collapse would otherwise re-evaluate the md5
+    array once per consumer expression."""
     toks = ws_tokens()
     n = F.size(toks)
     sh = F.array_distinct(
@@ -77,7 +87,17 @@ def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         )
     )
-    return documents.select("doc_id", F.explode(sh).alias("shingle_hash"))
+    return documents.select("doc_id", F.explode(F.array(sh)).alias("sh"))
+
+
+def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle_hash)."""
+    return shingle_rows(shingle_arrays(documents, k))
+
+
+def shingle_rows(sh_arrays: DataFrame) -> DataFrame:
+    """(doc_id, sh:array) → exploded (doc_id, shingle_hash) rows."""
+    return sh_arrays.select("doc_id", F.explode("sh").alias("shingle_hash"))
 
 
 def _shingles_sql(doc_table: str, k: int) -> str:
@@ -99,29 +119,21 @@ _MIX_A = "(12289 * ({i} + 1) + 6151)"
 _MIX_B = "(104729 * {i} + 9973)"
 
 
-def minhash_signatures(documents: DataFrame, k: int = 3, n_hashes: int = N_MINHASH) -> DataFrame:
-    """MinHash signature: min over shingles of affine-mixed 32-bit hashes.
+def minhash_signatures_from_arrays(
+    sh_arrays: DataFrame, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, sh:array<md5 hex>) → (doc_id, signature:array<bigint>).
 
-    Cost discipline: exactly ONE md5 per shingle (the classic
-    one-hash-many-mixes trick); the md5 array is materialized through a
-    Generate barrier (``explode(array(...))``) because higher-order
-    functions are not codegen'd and projection collapse would otherwise
-    re-evaluate the md5 array once per signature row.
-    """
-    toks = ws_tokens()
-    n = F.size(toks)
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    One-hash-many-mixes: base = first 8 hex chars of the shingle's md5
+    (already computed in :func:`shingle_arrays` — NO second text pass),
+    sig[i] = min over bases of the i-th affine mix. The bases array goes
+    through its own Generate barrier so the conv() pass runs once, not
+    once per signature row (higher-order funcs are not codegen'd and
+    projection collapse would re-inline it)."""
     bases = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        F.col("sh"), lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     )
-    with_bases = documents.select(
-        "doc_id", F.explode(F.array(bases)).alias("bases")
-    )
+    with_bases = sh_arrays.select("doc_id", F.explode(F.array(bases)).alias("bases"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda i: F.array_min(
@@ -133,6 +145,11 @@ def minhash_signatures(documents: DataFrame, k: int = 3, n_hashes: int = N_MINHA
         ),
     )
     return with_bases.select("doc_id", sig.alias("signature"))
+
+
+def minhash_signatures(documents: DataFrame, k: int = 3, n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash signature: min over shingles of affine-mixed 32-bit hashes."""
+    return minhash_signatures_from_arrays(shingle_arrays(documents, k), n_hashes)
 
 
 def _minhash_sig_sql(doc_table: str, k: int, n_hashes: int) -> str:
@@ -159,15 +176,23 @@ def _minhash_sig_sql(doc_table: str, k: int, n_hashes: int) -> str:
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, k: int = 3, n_hashes: int = N_MINHASH, bands: int = N_BANDS
+    documents: DataFrame,
+    k: int = 3,
+    n_hashes: int = N_MINHASH,
+    bands: int = N_BANDS,
+    sh_arrays: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one signature band.
 
     Band key = md5(band_id || joined band rows); the self-equi-join on
     (band_id, band_key) is the only shuffle, and its keys are uniform.
+    Pass ``sh_arrays`` (from :func:`shingle_arrays`, ideally persisted) to
+    share the tokenize+md5 pass with other consumers.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(documents, k, n_hashes)
+    if sh_arrays is None:
+        sh_arrays = shingle_arrays(documents, k)
+    sig = minhash_signatures_from_arrays(sh_arrays, n_hashes)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -291,10 +316,19 @@ def lsh_verified_jaccard(
 
     The expensive shingle⋈shingle fan-out of :func:`ngram_jaccard_pairs`
     is replaced by candidates⋈shingles (cost ∝ |candidates|·|shingles per
-    doc|) — this is the only Jaccard shape that survives 10^12 docs."""
-    cand = minhash_lsh_pairs(documents, k, n_hashes, bands)
-    sh = shingles(documents, k)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    doc|) — this is the only Jaccard shape that survives 10^12 docs.
+
+    The shingle subplan is computed ONCE and shared: ``shingle_arrays`` is
+    persisted and feeds (a) the MinHash signatures behind candidate
+    generation, (b) the shingle rows of the verification join and (c) the
+    set sizes — one tokenize+md5 pass over raw text instead of three. On a
+    real deployment the persisted frame is an Iceberg staging table; here
+    ``cache()`` plays that role (materialized by the first stage that
+    reads it, reused by the rest of the same job)."""
+    sh_arr = shingle_arrays(documents, k).cache()
+    cand = minhash_lsh_pairs(documents, k, n_hashes, bands, sh_arrays=sh_arr)
+    sh = shingle_rows(sh_arr)
+    sizes = sh_arr.select("doc_id", F.size("sh").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle_hash")
     inter = (

@@ -43,10 +43,22 @@ def link_mentions(
     jaccard_threshold: float = 0.55,
     num_hashes: int = 16,
     bands: int = 8,
+    fuzzy: bool = True,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """mentions(..., surface, entity_type) × alias(alias, canonical_id,
     entity_type) → + canonical_id, linked_via, final entity_type
     (dictionary type wins over the classifier's rule type when linked).
+
+    ``fuzzy=False`` skips the MinHash-LSH miss path (exact + self only) —
+    used where deterministic cross-engine reproducibility matters (the
+    DuckDB oracle twin) or when the dictionary is exhaustive.
+
+    Intermediate caches (distinct surfaces, dictionary-linked dim) are
+    unpersisted as soon as the final surface→entity dimension is
+    materialized; pass ``cleanup`` to ALSO receive that final cached dim
+    so long-running callers (streaming foreachBatch) can unpersist it
+    after consuming the result.
     """
     dim = (
         alias_df.select(
@@ -72,44 +84,46 @@ def link_mentions(
         F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "inner"
     ).select("surface_norm", "canonical_id", "dict_type", F.lit("exact").alias("linked_via"))
 
-    missed = surfaces.join(
-        F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "left_anti"
-    )
-
-    m_sh = missed.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
-    d_sh = dim.withColumn("shingles", char_shingles_col(F.col("alias_norm")))
-    fuzzy_pairs = lsh_similarity_join(
-        m_sh,
-        d_sh.select("alias_norm", "shingles"),
-        "surface_norm",
-        "alias_norm",
-        num_hashes=num_hashes,
-        bands=bands,
-        threshold=jaccard_threshold,
-    )
-    from pyspark.sql import Window as W
-
-    best = (
-        fuzzy_pairs.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("surface_norm").orderBy(
-                    F.col("jaccard").desc(), F.col("alias_norm")
-                )
-            ),
+    if fuzzy:
+        missed = surfaces.join(
+            F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "left_anti"
         )
-        .filter(F.col("rn") == 1)
-        .drop("rn", "jaccard")
-    )
-    fuzzy = (
-        best.join(F.broadcast(dim), "alias_norm")
-        .select("surface_norm", "canonical_id", "dict_type", F.lit("lsh").alias("linked_via"))
-    )
 
-    # cache: the dictionary-linked dimension feeds BOTH the self-link
-    # anti-join and the final union — without it the LSH join subplan
-    # executes twice.
-    linked_dim = exact.unionByName(fuzzy).cache()
+        m_sh = missed.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
+        d_sh = dim.withColumn("shingles", char_shingles_col(F.col("alias_norm")))
+        fuzzy_pairs = lsh_similarity_join(
+            m_sh,
+            d_sh.select("alias_norm", "shingles"),
+            "surface_norm",
+            "alias_norm",
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=jaccard_threshold,
+        )
+        from pyspark.sql import Window as W
+
+        best = (
+            fuzzy_pairs.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("surface_norm").orderBy(
+                        F.col("jaccard").desc(), F.col("alias_norm")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn", "jaccard")
+        )
+        fuzzy_links = (
+            best.join(F.broadcast(dim), "alias_norm")
+            .select("surface_norm", "canonical_id", "dict_type", F.lit("lsh").alias("linked_via"))
+        )
+        # cache: the dictionary-linked dimension feeds BOTH the self-link
+        # anti-join and the final union — without it the LSH join subplan
+        # executes twice.
+        linked_dim = exact.unionByName(fuzzy_links).cache()
+    else:
+        linked_dim = exact.cache()
     self_linked = (
         surfaces.join(linked_dim, "surface_norm", "left_anti")
         .select(
@@ -129,6 +143,13 @@ def link_mentions(
     # and pre-partition both sides on surface_norm instead.
     full_dim = linked_dim.unionByName(self_linked).cache()
     full_dim.count()
+    # full_dim is materialized — its upstreams are no longer needed (an
+    # LRU-evicted full_dim block would recompute from scratch, which is
+    # correct, just slower; a long-running stream must not accumulate them)
+    surfaces.unpersist()
+    linked_dim.unpersist()
+    if cleanup is not None:
+        cleanup.append(full_dim)
 
     out = (
         mentions.withColumn("surface_norm", norm_surface_col(F.col("surface")))

@@ -67,7 +67,13 @@ class StageCommitter:
             for f in sorted(files):
                 if f.endswith(".parquet"):
                     path = os.path.join(root, f)
-                    out.append((f, pq.ParquetFile(path).metadata.num_rows))
+                    # record the table-relative path, not the basename:
+                    # partitioned writes put identically-named part files
+                    # in every partition directory — basenames collide
+                    out.append(
+                        (os.path.relpath(path, table_dir),
+                         pq.ParquetFile(path).metadata.num_rows)
+                    )
         return out
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:

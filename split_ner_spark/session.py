@@ -37,9 +37,19 @@ def get_spark(
     # (measured), which serializes multi-GB shuffles and caps scaling at
     # ~8 threads; /dev/shm sustains ~850MB/s. Real clusters put
     # spark.local.dir on local NVMe for exactly this reason.
+    # CAVEAT: tmpfs spill consumes RAM, and a shuffle larger than the shm
+    # mount fails with no-space errors that won't reproduce elsewhere — so
+    # the default only engages when /dev/shm has ≥8 GiB free; set
+    # SPARK_GRAFT_LOCAL_DIR to override either way.
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            shm_free = st.f_bavail * st.f_frsize
+        except OSError:
+            shm_free = 0
+        if shm_free >= 8 * 1024**3:
+            local_dir = "/dev/shm/spark-local"
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
 

@@ -91,18 +91,26 @@ def incremental_triples(
     alias_df: DataFrame,
 ) -> "object":
     """foreachBatch incremental pipeline: per micro-batch, run the batch
-    link+triples stages and APPEND to the triples table. The streaming
-    checkpoint gives at-least-once micro-batches; the dedup key
-    (subj, pred, obj) makes downstream reads idempotent via distinct.
-    Returns the started StreamingQuery (caller stops it)."""
+    link+triples stages and write the batch's triples into an
+    EPOCH-KEYED partition directory with overwrite — foreachBatch is
+    at-least-once, so a replayed epoch overwrites its own directory
+    instead of appending a duplicate (exactly-once per epoch, the same
+    idea as the batch committer's atomic rename). Reads go through the
+    top-level directory (``epoch=*`` partitions). The per-batch linking
+    caches are unpersisted after each write so a long-running stream does
+    not accumulate executor storage. Returns the started StreamingQuery
+    (caller stops it)."""
     from .ops.link import link_mentions
     from .ops.triples import make_triples
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        cleanup: list[DataFrame] = []
         mentions = typed_mentions(batch_df)
-        linked = link_mentions(mentions, alias_df)
+        linked = link_mentions(mentions, alias_df, cleanup=cleanup)
         triples = make_triples(linked)
-        triples.write.mode("append").parquet(out_dir)
+        triples.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
+        for df in cleanup:
+            df.unpersist()
 
     stream = stream_pages(spark, pages_path)
     return (

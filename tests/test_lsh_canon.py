@@ -99,3 +99,36 @@ def test_driver_and_distributed_components_agree(spark):
     loop = {(r["node"], r["component"])
             for r in connected_components(df, driver_threshold=0).collect()}
     assert fast == loop and len(fast) > 0
+
+
+def test_star_contraction_long_path(spark):
+    # diameter ≫ any label-propagation budget: star contraction must still
+    # produce exact components (O(log^2 n) rounds)
+    n = 60
+    edges = spark.createDataFrame(
+        [(f"p{i:03d}", f"p{i+1:03d}") for i in range(n)], "src string, dst string"
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert len(cc) == n + 1
+    assert set(cc.values()) == {"p000"}
+
+
+def test_label_propagation_raises_past_budget(spark):
+    import pytest
+
+    from split_ner_spark.ops.canon import label_propagation_components
+
+    n = 20
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "u long, v long"
+    )
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # budget far below the path diameter → must raise, never return wrong labels
+    with pytest.raises(RuntimeError, match="propagation"):
+        label_propagation_components(sym, max_iter=3)
+    ok = label_propagation_components(sym, max_iter=n + 2)
+    got = {r["node"]: r["component"] for r in ok.collect()}
+    assert set(got.values()) == {0}

@@ -57,7 +57,13 @@ def test_incremental_triples_foreachbatch(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).distinct()
     assert got.count() > 0
-    assert set(got.columns) == {"subj", "pred", "obj"}
+    # epoch is the exactly-once partition key; triples are the payload
+    assert set(got.columns) == {"subj", "pred", "obj", "epoch"}
+    # a replayed epoch must OVERWRITE its own partition, not append dups
+    import os
+
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert epochs, "expected epoch-keyed partition dirs"
     # restart with no new files → no duplicate reprocessing
     n_before = spark.read.parquet(out).count()
     q2 = streaming.incremental_triples(spark, src, out, ckpt, alias_dim(spark))

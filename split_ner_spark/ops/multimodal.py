@@ -154,6 +154,46 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+DIGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("payload_hex_sha256", T.StringType()),
+    ]
+)
+
+
+def payload_digests(assets: DataFrame) -> DataFrame:
+    """Per-asset content digest via the SAME Arrow-batched mapInPandas
+    boundary as :func:`extract_features` — but over the payload's lowercase
+    hex encoding, so the digest is reproducible by the DuckDB oracle
+    (DuckDB 1.0's sha256() takes VARCHAR only; hashing the hex string
+    verifies byte-exact payload content and the binary Arrow round-trip
+    just as strongly as hashing the raw bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pd.Series(
+                        [len(p) for p in payloads], dtype="int32"
+                    ),
+                    "payload_hex_sha256": [
+                        hashlib.sha256(p.hex().encode()).hexdigest()
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        run, schema=DIGEST_SCHEMA
+    )
+
+
 def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling for video assets: 1 row per sampled frame.
 

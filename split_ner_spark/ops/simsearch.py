@@ -28,11 +28,16 @@ UDF, so the fold runs inside codegen.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 LSH_SIGN_BITS = 8
+EMB_DIM = 64  # dimension of the test embeddings table
+RP_BITS = 4  # sign bits per band (bucket width 2^4)
+RP_BANDS = 8  # OR-ed bands: a pair is a candidate if ANY band matches
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -189,6 +194,195 @@ def lsh_cosine_topk_sql(
       FROM scored
     ) WHERE rank <= {k}
     """
+
+
+# --- seeded random-hyperplane LSH (the production ANN path) -----------------
+#
+# Hyperplane j is a Rademacher (±1) vector derived from md5("hp-j-i") per
+# dimension i — seeded, engine-independent, and known at PLAN TIME, so the
+# projections compile to literal-weight in-order folds that Spark and
+# DuckDB evaluate bitwise-identically (same recipe as the cosine oracle).
+# Sign-bit j = [dot(emb, w_j) >= 0]. Bands OR together: a candidate pair
+# must agree on ALL bits of at least ONE band — bits narrows buckets,
+# bands recovers recall (classic banded LSH trade-off).
+
+
+def _rp_weight(j: int, i: int) -> float:
+    h = hashlib.md5(f"hp-{j}-{i}".encode()).hexdigest()
+    return 1.0 if h[0] in "89abcdef" else -1.0
+
+
+def _rp_dot(emb: str | Column, j: int, dim: int = EMB_DIM) -> Column:
+    w = F.array(*[F.lit(_rp_weight(j, i)) for i in range(dim)])
+    return F.aggregate(
+        F.zip_with(emb, w, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _rp_band_bucket(
+    emb: str | Column, band: int, bits: int = RP_BITS, dim: int = EMB_DIM
+) -> Column:
+    return F.concat(
+        *[
+            F.when(_rp_dot(emb, band * bits + j, dim) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(bits)
+        ]
+    )
+
+
+def _rp_dot_sql(emb: str, j: int, dim: int = EMB_DIM) -> str:
+    w = "[" + ", ".join(str(_rp_weight(j, i)) for i in range(dim)) + "]"
+    return (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST({emb}[i] AS DOUBLE) * ({w})[i]))"
+    )
+
+
+def _rp_band_bucket_sql(
+    emb: str, band: int, bits: int = RP_BITS, dim: int = EMB_DIM
+) -> str:
+    return " || ".join(
+        f"CASE WHEN {_rp_dot_sql(emb, band * bits + j, dim)} >= 0 "
+        "THEN '1' ELSE '0' END"
+        for j in range(bits)
+    )
+
+
+def rp_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = RP_BITS,
+    bands: int = RP_BANDS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Approximate top-k via banded random-hyperplane LSH.
+
+    Candidates = pairs agreeing on all ``bits`` sign bits of ≥1 of
+    ``bands`` bands; exact cosine re-ranks candidates; per-query top-k.
+    The banded equi-join is the only shuffle — each corpus vector is
+    exploded into ``bands`` small keys, never cross-joined. Recall vs the
+    brute-force oracle is measured by :func:`rp_lsh_recall` (registered
+    as an oracle-checked query): on THIS test corpus the embeddings are
+    near-random (mean top-1 cosine ≈ 0.37), which inherently caps LSH
+    recall — on clustered embeddings the same operator at the same
+    settings approaches recall 1.0 (pinned by a unit test with planted
+    clusters)."""
+    banded = embeddings.select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        _rp_band_bucket("embedding", b, bits, dim).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_id", "band.bucket")
+    q = banded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "band_id",
+        "bucket",
+    )
+    c = banded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "band_id",
+        "bucket",
+    )
+    cand = (
+        c.join(F.broadcast(q), ["band_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cosine_sim")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rp_lsh_topk_sql(
+    emb_table: str = "embeddings",
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = RP_BITS,
+    bands: int = RP_BANDS,
+    dim: int = EMB_DIM,
+) -> str:
+    band_selects = "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, embedding, {b} AS band_id, "
+        f"{_rp_band_bucket_sql('embedding', b, bits, dim)} AS bucket "
+        f"FROM {emb_table}"
+        for b in range(bands)
+    )
+    cos = _cosine_sql("c.q_emb", "c.embedding")
+    return f"""
+    WITH banded AS (
+{band_selects}
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, band_id, bucket
+      FROM banded WHERE vec_id < {n_queries}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, q.q_emb, c.vec_id AS neighbor_id, c.embedding
+      FROM banded c JOIN q USING (band_id, bucket)
+      WHERE q.query_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cosine_sim FROM cand c
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC
+      ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def rp_lsh_recall(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Recall@k of the banded RP-LSH path against the brute-force oracle,
+    as a one-row DataFrame — the ANN quality gate, itself oracle-checked
+    (both sides are SQL-expressible)."""
+    exact = cosine_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = rp_lsh_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            F.lit(n_queries).cast("int").alias("n_queries"),
+            F.lit(k).cast("int").alias("k"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias(
+                "recall"
+            ),
+        )
+    )
 
 
 def embedding_near_dup_pairs(

@@ -99,24 +99,78 @@ def expand_labels_to_pieces(detected: DataFrame) -> DataFrame:
     ).withColumn("piece_offsets", offsets)
 
 
-def map_pieces_to_tokens(expanded: DataFrame) -> DataFrame:
-    """A1: first-subword prediction per original token, B/S→B-ENTITY,
-    I/E→I-ENTITY, else O; duplicate sentences resolve first-wins by
-    sentence text (row_number over sent_text)."""
-    heads = F.filter(
-        F.zip_with(
-            F.col("piece_labels"),
-            F.col("piece_heads"),
-            lambda lab, h: F.when(h, lab),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    token_tags = F.transform(
-        heads,
-        lambda lab: F.when(lab.isin("B", "S"), F.lit("B-ENTITY"))
+def _bio_of(lab: Column) -> Column:
+    return (
+        F.when(lab.isin("B", "S"), F.lit("B-ENTITY"))
         .when(lab.isin("I", "E"), F.lit("I-ENTITY"))
-        .otherwise(F.lit("O")),
+        .otherwise(F.lit("O"))
     )
+
+
+def map_pieces_to_tokens(expanded: DataFrame, mapping: str = "type1") -> DataFrame:
+    """A1/A2: subword predictions → original-token BIO tags; duplicate
+    sentences resolve first-wins by sentence text (row_number over
+    sent_text, main_qa.py:120-127).
+
+    ``mapping="type1"`` (reference default, additional_args.py:45-46;
+    main_qa.py:110-160): take the FIRST subword's prediction per token,
+    B/S→B-ENTITY, I/E→I-ENTITY, else O.
+
+    ``mapping="type2"`` (consistency variant, main_qa.py:162-214): the
+    head piece maps as in type1, but the token is reset to O when any of
+    its CONTINUATION pieces predicts a non-continuation label (not I/E) —
+    "if the output for bert sub-tokens is inconsistent, then map to
+    NONE_TAG" (main_qa.py:162; the reference marks its own implementation
+    "needs proof-reading" at :164 — we implement the stated intent).
+    Implemented as a per-row array group (pieces of token i =
+    piece_labels where piece_offsets == i), shuffle-free."""
+    if mapping not in ("type1", "type2"):
+        raise ValueError(f"mapping must be type1|type2, got {mapping!r}")
+    if mapping == "type1":
+        heads = F.filter(
+            F.zip_with(
+                F.col("piece_labels"),
+                F.col("piece_heads"),
+                lambda lab, h: F.when(h, lab),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        token_tags = F.transform(heads, _bio_of)
+    else:
+        trip = F.zip_with(
+            F.zip_with(
+                F.col("piece_labels"),
+                F.col("piece_offsets"),
+                lambda lab, off: F.struct(lab.alias("lab"), off.alias("off")),
+            ),
+            F.col("piece_heads"),
+            lambda p, h: F.struct(
+                p["lab"].alias("lab"), p["off"].alias("off"), h.alias("head")
+            ),
+        )
+
+        def tok_tag(i: Column) -> Column:
+            mine = F.filter(trip, lambda p: p["off"] == i)
+            head_lab = F.element_at(
+                F.transform(
+                    F.filter(mine, lambda p: p["head"]), lambda p: p["lab"]
+                ),
+                1,
+            )
+            bad_cont = F.exists(
+                mine,
+                lambda p: (~p["head"]) & ~p["lab"].isin("I", "E"),
+            )
+            # inconsistent continuation prediction → O (main_qa.py:162 rule)
+            return F.when(bad_cont, F.lit("O")).otherwise(_bio_of(head_lab))
+
+        # size guard: sequence(0, -1) DESCENDS in Spark (known gotcha)
+        token_tags = F.when(
+            F.size("tokens") < 1,
+            F.array().cast("array<string>"),
+        ).otherwise(
+            F.transform(F.sequence(F.lit(0), F.size("tokens") - 1), tok_tag)
+        )
     out = expanded.withColumn("token_tags", token_tags).withColumn(
         "sent_text", F.array_join("tokens", " ")
     )

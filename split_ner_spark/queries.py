@@ -862,6 +862,34 @@ def q_kg_qa_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_scheme_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 tagging-scheme conversion (dataset.py:394-470): gazetteer BIO
+    tags per token → BIOES via ops/schemes.to_scheme_col, emitted as one
+    space-joined tag string per doc; the DuckDB twin derives the same
+    conversion with lag/lead window logic."""
+    from .ops.schemes import to_scheme_col
+
+    docs = load(spark, sf_dir, "documents")
+    df = docs.select("doc_id", ws_tokens().alias("tokens"))
+
+    def tag(t: Column, i: Column) -> Column:
+        typ = _typ_col(t, GAZ_PRED)
+        prev_typ = _typ_col(
+            F.element_at(F.col("tokens"), F.greatest(i, F.lit(1))), GAZ_PRED
+        )
+        return (
+            F.when(typ.isNull(), F.lit("O"))
+            .when((i == 0) | prev_typ.isNull(), F.concat(F.lit("B-"), typ))
+            .otherwise(F.concat(F.lit("I-"), typ))
+        )
+
+    tagged = df.withColumn("tags", F.transform("tokens", tag))
+    return tagged.select(
+        "doc_id",
+        F.concat_ws(" ", to_scheme_col("tags", "bioes")).alias("bioes_tags"),
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 stratified sampling: exactly 10 docs per language, deterministic
     hash order (ops/sampling.py)."""
@@ -1361,6 +1389,40 @@ def _oracles() -> dict[str, str]:
             )
             SELECT * FROM det UNION ALL SELECT * FROM sq
         """,
+        "kg_scheme_rewrite": f"""
+            WITH tok AS (
+              SELECT doc_id, u.pos, u.tok, {_typ_case_sql('u.tok', GAZ_PRED)} AS typ
+              FROM documents,
+                   unnest(list_transform(range(1, len({toks}) + 1),
+                          i -> {{'pos': i, 'tok': {toks}[i]}})) AS t(u)
+            ),
+            lagged AS (
+              SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_typ
+              FROM tok
+            ),
+            bio AS (
+              SELECT doc_id, pos,
+                     CASE WHEN typ IS NULL THEN 'O'
+                          WHEN prev_typ IS NULL THEN 'B-' || typ
+                          ELSE 'I-' || typ END AS tag
+              FROM lagged
+            ),
+            led AS (
+              SELECT *, lead(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tag
+              FROM bio
+            ),
+            conv AS (
+              SELECT doc_id, pos,
+                     CASE WHEN tag LIKE 'I-%' AND (next_tag IS NULL OR next_tag NOT LIKE 'I-%')
+                            THEN 'E-' || substr(tag, 3)
+                          WHEN tag LIKE 'B-%' AND (next_tag IS NULL OR next_tag NOT LIKE 'I-%')
+                            THEN 'S-' || substr(tag, 3)
+                          ELSE tag END AS tag
+              FROM led
+            )
+            SELECT doc_id, string_agg(tag, ' ' ORDER BY pos) AS bioes_tags
+            FROM conv GROUP BY doc_id
+        """,
         "sample_stratified": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
@@ -1450,6 +1512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_eval_accuracy": q_kg_eval_accuracy,
     "kg_linked_triples": q_kg_linked_triples,
     "kg_qa_contexts": q_kg_qa_contexts,
+    "kg_scheme_rewrite": q_kg_scheme_rewrite,
     "sample_stratified": q_sample_stratified,
     "sample_kshot": q_sample_kshot,
     "sample_kpartition": q_sample_kpartition,

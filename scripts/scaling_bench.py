@@ -89,7 +89,7 @@ def run_one(cpus: int, n_pages: int, light: bool = False) -> None:
 
     n_reps = 1 if light else 2
     udf_walls = []
-    for _ in range(n_reps):
+    for _ in range(0 if light == "jobonly" else n_reps):
         t0 = time.time()
         fused_mentions(spark, n_pages).agg(F.count("*")).collect()
         udf_walls.append(round(time.time() - t0, 2))
@@ -181,7 +181,7 @@ def run_one(cpus: int, n_pages: int, light: bool = False) -> None:
                 "n_pages": n_pages,
                 "job_wall_s": wall,
                 "job_walls": job_walls,
-                "udf_wall_s": min(udf_walls),
+                "udf_wall_s": min(udf_walls) if udf_walls else None,
                 "udf_walls": udf_walls,
                 "stage_walls": stage_walls,
                 "jvm_shuffle_wall_s": min(shuffle_walls) if shuffle_walls else None,
@@ -218,7 +218,7 @@ def _merge_best(base: dict | None, new: dict) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
-        light = len(sys.argv) > 4 and sys.argv[4] == "light"
+        light = sys.argv[4] if len(sys.argv) > 4 else False
         run_one(int(sys.argv[2]), int(sys.argv[3]), light=light)
         return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_PAGES

@@ -83,6 +83,75 @@ def mention_count_stream(
     )
 
 
+DEDUP_OUT_SCHEMA = (
+    "host string, url string, warc_ts timestamp, text string, lang string"
+)
+
+
+def first_seen_pages(
+    pages: DataFrame, watermark: str = "1 day", idle_timeout_ms: int = 86_400_000
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: streaming
+    exact-dedup — emit only the FIRST occurrence of each url, state keyed
+    by host. The batch analog is ``dedup.exact_dedup``; a stream needs
+    explicit state because "first" spans micro-batches.
+
+    State per host = the exact set of 64-bit url digests seen (md5-based
+    — deterministic across workers and restarts, unlike python hash()).
+    Keying by host keeps state keys low-cardinality and co-locates a
+    site's urls; on a cluster the state store is RocksDB. State is
+    bounded: a host idle for ``idle_timeout_ms`` past the event-time
+    watermark is evicted (EventTimeTimeout) — the discipline that
+    survives an unbounded crawl.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _digest(url: str) -> int:
+        return int.from_bytes(hashlib.md5(url.encode()).digest()[:8], "big", signed=True)
+
+    def dedup_host(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen = set(state.get[0]) if state.exists else set()
+        out = []
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                h = _digest(row.url)
+                if h in seen:
+                    continue
+                seen.add(h)
+                out.append(row)
+        state.update((list(seen),))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
+        if out:
+            yield pd.DataFrame(out, columns=[
+                "host", "url", "warc_ts", "text", "lang"
+            ])
+
+    withhost = pages.select(
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+        "url",
+        "warc_ts",
+        "text",
+        "lang",
+    )
+    return (
+        withhost.withWatermark("warc_ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            dedup_host,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType="seen array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def incremental_triples(
     spark: SparkSession,
     pages_path: str,

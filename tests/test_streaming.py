@@ -69,3 +69,46 @@ def test_incremental_triples_foreachbatch(spark, tmp_path):
     q2 = streaming.incremental_triples(spark, src, out, ckpt, alias_dim(spark))
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_first_seen_pages_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicate urls across micro-batches
+    are emitted exactly once (state spans batches)."""
+    from datetime import datetime
+
+    src = str(tmp_path / "dup_pages")
+    rows1 = [
+        (f"https://h{i % 3}.test/p{i}", datetime(2024, 1, 1, i), None,
+         f"text {i}", "en")
+        for i in range(12)
+    ]
+    # second batch repeats half the urls and adds new ones
+    rows2 = [r for r in rows1[:6]] + [
+        (f"https://h{i % 3}.test/q{i}", datetime(2024, 1, 2, i), None,
+         f"new {i}", "en")
+        for i in range(6)
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = streaming.stream_pages(spark, src, max_files=1)  # 1 file/batch
+    q = (
+        streaming.first_seen_pages(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT url FROM first_seen").collect()
+    finally:
+        q.stop()
+    urls = [r["url"] for r in got]
+    assert len(urls) == len(set(urls)), "duplicate url emitted"
+    assert len(set(urls)) == 18  # 12 originals + 6 new, repeats dropped

@@ -73,13 +73,19 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     for name in HEADLINE:
-        t0 = time.time()
-        n = QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
-        # queries may persist shared subplans (e.g. the dedup shingle
-        # frame); drop them so per-query numbers stay independent
-        spark.catalog.clearCache()
+        # best of two: JVM/hypervisor noise swings individual queries up
+        # to ~1.8x between runs on this VM (same protocol as kg_pipeline)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            n = QUERIES[name](spark, sf_dir).count()
+            wall = round(time.time() - t0, 3)
+            best = wall if best is None else min(best, wall)
+            assert n >= 0
+            # queries may persist shared subplans (e.g. the dedup shingle
+            # frame); drop them so per-query numbers stay independent
+            spark.catalog.clearCache()
+        timings[name] = best
 
     # full KG pipeline at a corpus size proportional to the sf: 2M pages
     # at sf=0.1 — the SAME size as BENCH_SCALING.json, so the headline
@@ -106,9 +112,13 @@ def main() -> None:
     # on this VM is up to 3x until JIT settles; BENCH_r01's single
     # measured run is what made kg_pipeline look 8x slower per page than
     # the scaling bench)
+    # best-of-three: hypervisor noise on this VM arrives in minutes-long
+    # windows (measured swings: the same 2M-page run 56s vs 102s an hour
+    # apart) — three measured runs span enough windows to usually catch a
+    # clean one; all walls are reported
     walls = []
     summary = None
-    for _ in range(2):
+    for _ in range(3):
         workdir = tempfile.mkdtemp(prefix="bench_pipeline_", dir=tmp_root)
         try:
             t0 = time.time()

@@ -310,6 +310,7 @@ def lsh_verified_jaccard(
     threshold: float = 0.5,
     n_hashes: int = N_MINHASH,
     bands: int = N_BANDS,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """The production dedup composition: MinHash-LSH candidate generation,
     then exact n-gram-Jaccard verification restricted to candidates.
@@ -324,8 +325,15 @@ def lsh_verified_jaccard(
     set sizes — one tokenize+md5 pass over raw text instead of three. On a
     real deployment the persisted frame is an Iceberg staging table; here
     ``cache()`` plays that role (materialized by the first stage that
-    reads it, reused by the rest of the same job)."""
+    reads it, reused by the rest of the same job).
+
+    Pass ``cleanup`` (a list) to receive the cached shingle frame so the
+    caller can ``unpersist()`` it once the result is materialized — the
+    same contract as ``link_mentions``. Without it a long-lived session
+    calling this repeatedly accumulates one cached frame per call."""
     sh_arr = shingle_arrays(documents, k).cache()
+    if cleanup is not None:
+        cleanup.append(sh_arr)
     cand = minhash_lsh_pairs(documents, k, n_hashes, bands, sh_arrays=sh_arr)
     sh = shingle_rows(sh_arr)
     sizes = sh_arr.select("doc_id", F.size("sh").alias("n_sh"))

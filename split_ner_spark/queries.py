@@ -161,6 +161,86 @@ def _gaz_spans_sql(gaz: dict[str, str], doc_table: str = "documents") -> str:
     """
 
 
+def _pipeline_triples_sql() -> str:
+    """DuckDB twin of the full pipeline chain (see q_pipeline_triples)."""
+    from .ops.classify import (
+        CORP_SUFFIX, GROUP_SUFFIX, LOC_GAZ, LOC_SUFFIX, PERSON_LAST, UNKNOWN,
+    )
+
+    split = "string_split(text, ' ')"
+    corp_re = "(" + "|".join(CORP_SUFFIX) + ")$"
+    in_list = lambda xs: ", ".join(f"'{x}'" for x in xs)  # noqa: E731
+    alias_vals = ", ".join(
+        f"('{a}', '{c}', '{t}')" for a, c, t in LINK_ALIAS_ROWS
+    )
+    return f"""
+    WITH rw AS (
+      SELECT doc_id, u.pos, {_pipe_rewrite_sql("u.tok")} AS tok
+      FROM documents,
+           unnest(list_transform(range(1, len({split}) + 1),
+                  i -> {{'pos': i, 'tok': {split}[i]}})) AS t(u)
+      WHERE lang = 'en'
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             count(*) FILTER (WHERE tok = '.') OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sent_id,
+             regexp_matches(tok, '^[A-Z]') AS cap
+      FROM rw
+    ),
+    prevved AS (
+      SELECT *, coalesce(
+               lag(cap) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS prev_cap
+      FROM flagged
+    ),
+    runs AS (
+      SELECT *, sum(CASE WHEN cap AND NOT prev_cap THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM prevved
+    ),
+    m AS (
+      SELECT doc_id, CAST(min(sent_id) AS INT) AS sent_id,
+             string_agg(tok, ' ' ORDER BY pos) AS surface
+      FROM runs WHERE cap GROUP BY doc_id, run_id
+    ),
+    ruled AS (
+      SELECT doc_id, sent_id, surface,
+             CASE WHEN regexp_matches({split}[-1], '{corp_re}') THEN 'corporation'
+                  WHEN {split}[-1] IN ({in_list(LOC_SUFFIX)})
+                       OR surface IN ({in_list(LOC_GAZ)}) THEN 'location'
+                  WHEN regexp_matches(surface, '[0-9]') THEN 'product'
+                  WHEN {split}[-1] IN ({in_list(GROUP_SUFFIX)}) THEN 'group'
+                  WHEN {split}[1] = 'The' THEN 'creative-work'
+                  WHEN {split}[-1] IN ({in_list(PERSON_LAST)}) THEN 'person'
+                  ELSE '{UNKNOWN}' END AS rule_type
+      FROM (SELECT doc_id, sent_id, surface, surface AS text FROM m)
+    ),
+    alias AS (
+      SELECT * FROM (VALUES {alias_vals}) v(alias_norm, cid, dict_type)
+    ),
+    linked AS (
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS url, sent_id,
+             coalesce(a.cid, 'surface:' || lower(surface)) AS canonical_id,
+             coalesce(a.dict_type, r.rule_type) AS entity_type
+      FROM ruled r LEFT JOIN alias a ON a.alias_norm = lower(r.surface)
+    ),
+    dl AS (SELECT DISTINCT url, sent_id, canonical_id FROM linked),
+    tri AS (
+      SELECT canonical_id AS subj, 'typed_as' AS pred, entity_type AS obj
+      FROM linked WHERE entity_type IS NOT NULL
+      UNION ALL
+      SELECT canonical_id, 'mentioned_in', url FROM linked
+      UNION ALL
+      SELECT x.canonical_id, 'co_mentioned_with', y.canonical_id
+      FROM dl x JOIN dl y USING (url, sent_id)
+      WHERE x.canonical_id < y.canonical_id
+    )
+    SELECT DISTINCT subj, pred, obj FROM tri
+    """
+
+
 # ---------------------------------------------------------------------------
 # query implementations (spark side)
 
@@ -690,30 +770,94 @@ def q_kg_tag_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def q_kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6 full semantics (pattern_analysis.py:43-97): frequent n-grams in
-    the +-2-token window around detected mentions, thresholded — the
-    context-pattern miner for weak supervision."""
+# X6 window grid — the reference's exact analysis settings
+# (/root/reference/splitner/utils/pattern_analysis.py:62-95): left extents
+# 1..5, right extents 0..4 (25 windows per entity token), threshold 40.
+X6_LEFT_EXTENTS = range(1, 6)
+X6_RIGHT_EXTENTS = range(0, 5)
+X6_THRESHOLD = 40
+
+
+def q_kg_mention_contexts(
+    spark: SparkSession,
+    sf_dir: str,
+    left_extents=X6_LEFT_EXTENTS,
+    right_extents=X6_RIGHT_EXTENTS,
+    threshold: int = X6_THRESHOLD,
+) -> DataFrame:
+    """X6 FULL semantics (pattern_analysis.py:43-97, extrinsic_patterns):
+
+    1. rewrite each sentence — a ``B-X`` token becomes its type name,
+       ``I-*`` tokens are DROPPED, ``O`` tokens keep their text (:47-54);
+    2. for every entity token at rewritten position i emit all
+       ``len(left_extents) × len(right_extents)`` clamped windows
+       ``tokens[max(0, i-l) : min(n, i+1+r)]`` (:62-90) — clamp-collided
+       duplicate windows are COUNTED, as the reference does;
+    3. keep patterns with total count ≥ ``threshold`` (:94-95, default 40).
+
+    The defaults are the reference's exact settings; the extents/threshold
+    knobs exist so other grids are one call away. All work is codegen
+    (transform/filter/slice over per-doc arrays + one hash aggregate) —
+    no shuffle before the final groupBy, so the plan holds at corpus scale.
+    """
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", ws_tokens().alias("tokens"))
-    spans = gaz_spans(docs, GAZ_PRED).select("doc_id", "start", "end")
-    j = spans.join(toks, "doc_id")
-    start, end = F.col("start"), F.col("end")
-    lo = F.greatest(start - 1, F.lit(1))
-    left = F.when(start == 0, F.lit("")).otherwise(
-        F.array_join(F.slice("tokens", lo, start - lo + 1), " ")
+    df = docs.select("doc_id", ws_tokens().alias("tokens"))
+
+    def tag(t: Column, i: Column) -> Column:
+        typ = _typ_col(t, GAZ_PRED)
+        prev_typ = _typ_col(
+            F.element_at(F.col("tokens"), F.greatest(i, F.lit(1))), GAZ_PRED
+        )
+        return (
+            F.when(typ.isNull(), F.lit("O"))
+            .when((i == 0) | prev_typ.isNull(), F.concat(F.lit("B-"), typ))
+            .otherwise(F.concat(F.lit("I-"), typ))
+        )
+
+    tagged = df.withColumn("tags", F.transform("tokens", tag))
+    # rewritten token stream: keep O (text) and B- (type name), drop I-
+    kept = F.filter(
+        F.arrays_zip(F.col("tokens"), F.col("tags")),
+        lambda s: ~s["tags"].startswith("I-"),
     )
-    right = F.array_join(F.slice("tokens", end + 2, 2), " ")
-    ctx = j.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("L").alias("side"), left.alias("context")),
-                F.struct(F.lit("R").alias("side"), right.alias("context")),
-            )
-        ).alias("c")
-    ).select("c.side", "c.context").filter(F.col("context") != "")
-    return ctx.groupBy("side", "context").agg(F.count("*").alias("n")).filter(
-        F.col("n") >= 5
+    rw = F.transform(
+        kept,
+        lambda s: F.struct(
+            F.when(s["tags"] == "O", s["tokens"])
+            .otherwise(F.substring(s["tags"], 3, 2147483647))
+            .alias("tok"),
+            (s["tags"] != "O").alias("ent"),
+        ),
+    )
+    base = tagged.select(F.col("doc_id"), rw.alias("rw")).select(
+        "doc_id",
+        F.transform("rw", lambda s: s["tok"]).alias("toks"),
+        F.filter(
+            F.transform(F.col("rw"), lambda s, i: F.when(s["ent"], i).otherwise(F.lit(-1))),
+            lambda i: i >= 0,
+        ).alias("ent_idx"),
+    )
+    grid = F.array(
+        *[
+            F.struct(F.lit(l).alias("l"), F.lit(r).alias("r"))
+            for l in left_extents
+            for r in right_extents
+        ]
+    )
+    ex = (
+        base.select("toks", F.explode("ent_idx").alias("i"))
+        .select("toks", "i", F.explode(grid).alias("w"))
+    )
+    i, l, r = F.col("i"), F.col("w.l"), F.col("w.r")
+    n = F.size("toks")
+    start0 = F.greatest(i - l, F.lit(0))
+    end0 = F.least(i + r, n - 1)
+    pattern = F.array_join(F.slice("toks", start0 + 1, end0 - start0 + 1), " ")
+    return (
+        ex.select(pattern.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= threshold)
     )
 
 
@@ -917,20 +1061,58 @@ def q_sample_kpartition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_partition_split(docs, "doc_id", 5)
 
 
-# --- non-SQL-expressible (rows-only checks) ----------------------------------
+# --- the full pipeline chain, oracle-checked ---------------------------------
+
+# Deterministic token rewrite that turns the (all-lowercase) ``documents``
+# text into shape-bearing "web page" text BOTH engines can derive: selected
+# filler words become capitalized surfaces (so the shape-feature detector
+# fires on real runs) and the filler ``a`` becomes a ``.`` sentence
+# terminator (so segmentation is exercised). The map is chosen to hit every
+# classify_surface rule branch (corporation/location/product/group/
+# creative-work/person/unknown) and the alias-dictionary override path.
+PIPE_REWRITE = {
+    "a": ".",           # sentence breaker → segment() split point
+    "spark": "Spark",   # dict exact link: eng:spark (ENGINE)
+    "data": "Data",     # dict exact link: dat:data; "Data Table" → dat:data_table
+    "table": "Table",
+    "customer": "Customer",  # dict type override: act:customer (PERSON)
+    "row": "Smith",     # person rule (last token in PERSON_LAST)
+    "big": "X9",        # product rule (contains digit)
+    "slow": "The",      # creative-work rule (first token == "The")
+    "line": "City",     # location rule (last token in LOC_SUFFIX)
+    "group": "Team",    # group rule (last token in GROUP_SUFFIX)
+    "merge": "Corp",    # corporation rule (last token ends with Corp)
+}
+
+
+def _pipe_rewrite_col(tok: Column) -> Column:
+    expr = None
+    for w, rep in PIPE_REWRITE.items():
+        expr = (F.when(tok == w, F.lit(rep)) if expr is None
+                else expr.when(tok == w, F.lit(rep)))
+    return expr.otherwise(tok)
+
+
+def _pipe_rewrite_sql(tok_expr: str) -> str:
+    whens = " ".join(f"WHEN '{w}' THEN '{r}'" for w, r in PIPE_REWRITE.items())
+    return f"CASE {tok_expr} {whens} ELSE {tok_expr} END"
 
 
 def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The actual KG pipeline (Arrow-UDF detect/classify, linking, triple
-    emission) on the deterministic synthetic corpus.
+    """The FULL pipeline operator chain — segment_pages (UDF #1, real
+    tokenizer + sentence splitter) → detect_spans (UDF #2, the shape-run
+    BIOES scorer, mapInPandas) → assemble_untyped (W3 codegen fold) →
+    classify_mentions → link_mentions (broadcast dict + self-link) →
+    make_triples — hash-checked end-to-end against a DuckDB twin.
 
-    Documented rows-only: the corpus generator and the scorer surrogate
-    are Python (``random.Random`` page grammar + the model-slot UDF), so
-    no SQL engine can reproduce the inputs — the oracle-checkable back
-    half (link → triples) is covered by ``kg_linked_triples``, the
-    fused-vs-staged equality by tests/test_fused.py, and the output
-    quality by the triple P/R≥0.95 pytest gate (test_pipeline_e2e)."""
-    from . import corpus, pipeline
+    Input = ``documents`` text under the deterministic ``PIPE_REWRITE``
+    (capitalization + sentence breaks both engines derive identically), so
+    the detector genuinely fires and every stage transforms real data.
+    ``fuzzy=False`` on linking for cross-engine determinism (xxhash64 has
+    no DuckDB twin); the fuzzy arm is covered by test_lsh_canon. The
+    RNG-corpus production run of the same chain stays covered by the
+    P/R≥0.95 gate (test_pipeline_e2e) and fused-vs-staged equality
+    (test_fused); this query pins the chain's VALUES, not just its rates."""
     from .ops.assemble import assemble_untyped
     from .ops.classify import classify_mentions
     from .ops.detect import detect_spans
@@ -938,10 +1120,21 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.segment import segment_pages
     from .ops.triples import make_triples
 
-    pg = corpus.gen_pages_with_gold(spark, n_pages=200)
-    sents = segment_pages(corpus.pages(pg))
-    mentions = classify_mentions(assemble_untyped(detect_spans(sents))).drop("tokens")
-    linked = link_mentions(mentions, pipeline.alias_dim(spark))
+    docs = load(spark, sf_dir, "documents")
+    rewritten = F.transform(F.split(F.col("text"), " "), _pipe_rewrite_col)
+    pages = docs.select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("url"),
+        F.array_join(rewritten, " ").alias("text"),
+        "lang",
+    )
+    sents = segment_pages(pages)  # lang == 'en' filter + UDF #1
+    mentions = classify_mentions(assemble_untyped(detect_spans(sents))).drop(
+        "tokens"
+    )
+    alias_df = spark.createDataFrame(
+        LINK_ALIAS_ROWS, "alias string, canonical_id string, entity_type string"
+    )
+    linked = link_mentions(mentions, alias_df, fuzzy=False)
     return make_triples(linked)
 
 
@@ -1266,23 +1459,53 @@ def _oracles() -> dict[str, str]:
             FROM ({pred_spans})
             GROUP BY 1
         """,
+        # X6 full grid twin: BIO tag per token, drop I-, B→type, O→text;
+        # every entity token × the 5×5 clamped window grid, count ≥ 40.
         "kg_mention_contexts": f"""
-            WITH sp AS (SELECT doc_id, start, "end" FROM ({pred_spans})),
-            tk AS (SELECT doc_id, {toks} AS tokens FROM documents),
-            ctx AS (
-              SELECT 'L' AS side,
-                     CASE WHEN start = 0 THEN ''
-                          ELSE array_to_string(tokens[greatest(start - 1, 1) : start], ' ')
-                     END AS context
-              FROM sp JOIN tk USING (doc_id)
-              UNION ALL
-              SELECT 'R' AS side,
-                     array_to_string(tokens["end" + 2 : "end" + 3], ' ') AS context
-              FROM sp JOIN tk USING (doc_id)
+            WITH tok AS (
+              SELECT doc_id, u.pos, u.tok, {_typ_case_sql('u.tok', GAZ_PRED)} AS typ
+              FROM documents,
+                   unnest(list_transform(range(1, len({toks}) + 1),
+                          i -> {{'pos': i, 'tok': {toks}[i]}})) AS t(u)
+            ),
+            lagged AS (
+              SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_typ
+              FROM tok
+            ),
+            tagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN typ IS NULL THEN 'O'
+                          WHEN prev_typ IS NULL THEN 'B' ELSE 'I' END AS k,
+                     tok, typ
+              FROM lagged
+            ),
+            kept AS (
+              SELECT doc_id, pos,
+                     CASE WHEN k = 'O' THEN tok ELSE typ END AS tok,
+                     (k <> 'O') AS ent
+              FROM tagged WHERE k <> 'I'
+            ),
+            idx AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS i,
+                     tok, ent
+              FROM kept
+            ),
+            arr AS (SELECT doc_id, list(tok ORDER BY i) AS toks FROM idx GROUP BY doc_id),
+            ents AS (SELECT doc_id, i FROM idx WHERE ent),
+            grid AS (
+              SELECT l.l, r.r
+              FROM (VALUES {", ".join(f"({l})" for l in X6_LEFT_EXTENTS)}) l(l)
+              CROSS JOIN (VALUES {", ".join(f"({r})" for r in X6_RIGHT_EXTENTS)}) r(r)
+            ),
+            pats AS (
+              SELECT array_to_string(
+                       toks[greatest(i - l, 0) + 1 : least(i + r, len(toks) - 1) + 1],
+                       ' ') AS pattern
+              FROM ents JOIN arr USING (doc_id) CROSS JOIN grid
             )
-            SELECT side, context, count(*) AS n
-            FROM ctx WHERE context <> ''
-            GROUP BY side, context HAVING count(*) >= 5
+            SELECT pattern, CAST(count(*) AS BIGINT) AS n
+            FROM pats GROUP BY pattern HAVING count(*) >= {X6_THRESHOLD}
         """,
         "parts_by_brand": f"""
             SELECT p_brand, count(*) AS n_lines,
@@ -1372,6 +1595,12 @@ def _oracles() -> dict[str, str]:
             )
             SELECT DISTINCT subj, pred, obj FROM tri
         """,
+        # Full-chain twin of q_pipeline_triples: same PIPE_REWRITE, then
+        # sentence ids by counting '.' terminators, shape-run detection
+        # (maximal capitalized runs — exactly what the BIOES scorer +
+        # assembler emit), rule typing, exact dictionary linking, and the
+        # three triple predicates with one union-level DISTINCT.
+        "pipeline_triples": _pipeline_triples_sql(),
         "kg_qa_contexts": f"""
             WITH d AS (SELECT len({toks}) AS n FROM documents),
             tags AS (

@@ -89,3 +89,21 @@ def test_quality_and_langid_sanity(spark):
     assert lid[0] == "en" and lid[1] == "de" and lid[2] == "und"
     q = {r["doc_id"]: r["quality"] for r in textstats.quality_scores(docs).collect()}
     assert q[0] > q[2]  # stopword-rich beats gibberish
+
+
+def test_lsh_verified_jaccard_cleanup_releases_cache(spark):
+    """The cleanup-list contract (same as link_mentions): after the caller
+    unpersists the handed-back frames, no cached RDD from this query
+    remains in executor storage."""
+    spark.catalog.clearCache()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cleanup: list = []
+    from split_ner_spark.ops.dedup import lsh_verified_jaccard
+
+    out = lsh_verified_jaccard(docs, cleanup=cleanup)
+    n = out.count()  # materialize (shingle frame now cached + used)
+    assert n > 0 and len(cleanup) == 1
+    for df in cleanup:
+        df.unpersist(blocking=True)
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(infos) == 0, [i.name() for i in infos]

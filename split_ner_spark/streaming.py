@@ -89,20 +89,35 @@ DEDUP_OUT_SCHEMA = (
 
 
 def first_seen_pages(
-    pages: DataFrame, watermark: str = "1 day", idle_timeout_ms: int = 86_400_000
+    pages: DataFrame,
+    watermark: str = "1 day",
+    idle_timeout_ms: int = 86_400_000,
+    n_shards: int = 256,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: streaming
-    exact-dedup — emit only the FIRST occurrence of each url, state keyed
-    by host. The batch analog is ``dedup.exact_dedup``; a stream needs
-    explicit state because "first" spans micro-batches.
+    exact-dedup — emit only the FIRST occurrence of each url. The batch
+    analog is ``dedup.exact_dedup``; a stream needs explicit state because
+    "first" spans micro-batches.
 
-    State per host = the exact set of 64-bit url digests seen (md5-based
-    — deterministic across workers and restarts, unlike python hash()).
-    Keying by host keeps state keys low-cardinality and co-locates a
-    site's urls; on a cluster the state store is RocksDB. State is
-    bounded: a host idle for ``idle_timeout_ms`` past the event-time
-    watermark is evicted (EventTimeTimeout) — the discipline that
-    survives an unbounded crawl.
+    State key = ``(host, shard)`` where ``shard = pmod(xxhash64(url),
+    n_shards)``: a url always lands on the same shard, so dedup stays
+    exact, but a hot host (wikipedia.org at crawl scale) spreads across
+    ``n_shards`` state rows handled by different tasks instead of
+    concentrating one multi-GB state value on one executor. Each state
+    value holds only its shard's 64-bit md5 digests (deterministic across
+    workers/restarts, unlike python ``hash()``), so the per-key state row
+    — the unit RocksDB reads + rewrites per update — is bounded by
+    ``|host's urls inside the watermark| / n_shards × 8 bytes``, and a
+    micro-batch touches only the shards its urls hash to.
+
+    Eviction semantics (explicit, not fine print): a ``(host, shard)`` key
+    idle for ``idle_timeout_ms`` past the event-time watermark is evicted
+    (EventTimeTimeout) and its digest history FORGOTTEN — a url re-crawled
+    after eviction is re-emitted as first-seen. Under eviction the
+    operator therefore guarantees at-least-once emission with exactly-once
+    *within* any window where the key stays live; downstream writes must
+    tolerate replays (the epoch-keyed triple writer does). Size
+    ``idle_timeout_ms`` to the re-crawl horizon you need deduped.
     """
     import hashlib
 
@@ -112,7 +127,7 @@ def first_seen_pages(
     def _digest(url: str) -> int:
         return int.from_bytes(hashlib.md5(url.encode()).digest()[:8], "big", signed=True)
 
-    def dedup_host(key, pdfs, state: GroupState):
+    def dedup_shard(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
@@ -124,7 +139,7 @@ def first_seen_pages(
                 if h in seen:
                     continue
                 seen.add(h)
-                out.append(row)
+                out.append((row.host, row.url, row.warc_ts, row.text, row.lang))
         state.update((list(seen),))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
         if out:
@@ -134,6 +149,7 @@ def first_seen_pages(
 
     withhost = pages.select(
         F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("host"),
+        F.pmod(F.xxhash64("url"), F.lit(n_shards)).alias("shard"),
         "url",
         "warc_ts",
         "text",
@@ -141,9 +157,9 @@ def first_seen_pages(
     )
     return (
         withhost.withWatermark("warc_ts", watermark)
-        .groupBy("host")
+        .groupBy("host", "shard")
         .applyInPandasWithState(
-            dedup_host,
+            dedup_shard,
             outputStructType=DEDUP_OUT_SCHEMA,
             stateStructType="seen array<long>",
             outputMode="append",
@@ -168,9 +184,31 @@ def incremental_triples(
     top-level directory (``epoch=*`` partitions). The per-batch linking
     caches are unpersisted after each write so a long-running stream does
     not accumulate executor storage. Returns the started StreamingQuery
-    (caller stops it)."""
+    (caller stops it).
+
+    Guard: epoch ids come from the streaming checkpoint, so reusing a
+    non-empty ``out_dir`` with a FRESH checkpoint would restart epochs at
+    0 and silently overwrite a previous run's partitions (and a flat
+    append-era layout mixed with ``epoch=*`` dirs breaks partition
+    discovery). Starting against existing output without its matching
+    checkpoint therefore raises instead of clobbering."""
+    import os
+
     from .ops.link import link_mentions
     from .ops.triples import make_triples
+
+    def _nonempty(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            not name.startswith((".", "_")) for name in os.listdir(d)
+        )
+
+    if _nonempty(out_dir) and not _nonempty(checkpoint_dir):
+        raise ValueError(
+            f"out_dir {out_dir!r} already has data but checkpoint_dir "
+            f"{checkpoint_dir!r} is fresh: epoch ids would restart at 0 and "
+            "overwrite prior output. Point at the original checkpoint, or "
+            "use a new out_dir."
+        )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         cleanup: list[DataFrame] = []

@@ -112,3 +112,71 @@ def test_first_seen_pages_stateful_dedup(spark, tmp_path):
     urls = [r["url"] for r in got]
     assert len(urls) == len(set(urls)), "duplicate url emitted"
     assert len(set(urls)) == 18  # 12 originals + 6 new, repeats dropped
+
+
+def test_first_seen_pages_hot_host_sharding(spark, tmp_path):
+    """Skewed distribution: ALL urls on one host. Dedup must stay exact
+    while state spreads over many (host, shard) keys — no single state
+    row holds the host's whole digest set."""
+    from datetime import datetime
+
+    src = str(tmp_path / "hot_pages")
+    rows1 = [
+        (f"https://hot.test/p{i}", datetime(2024, 1, 1, i % 24), None,
+         f"text {i}", "en")
+        for i in range(64)
+    ]
+    rows2 = rows1[:32] + [
+        (f"https://hot.test/q{i}", datetime(2024, 1, 2, i % 24), None,
+         f"new {i}", "en")
+        for i in range(16)
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = streaming.stream_pages(spark, src, max_files=1)
+    q = (
+        streaming.first_seen_pages(stream, n_shards=16)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("first_seen_hot")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT url FROM first_seen_hot").collect()
+        state_rows = max(
+            (op["numRowsTotal"] for p in q.recentProgress
+             for op in p["stateOperators"]),
+            default=0,
+        )
+    finally:
+        q.stop()
+    urls = [r["url"] for r in got]
+    assert len(urls) == len(set(urls)), "duplicate url emitted"
+    assert len(set(urls)) == 80  # 64 originals + 16 new
+    # the hot host's state is sharded over many keys, not one giant row
+    assert state_rows > 4, f"expected sharded state keys, got {state_rows}"
+
+
+def test_incremental_triples_refuses_fresh_checkpoint_over_data(spark, tmp_path):
+    """Reusing a populated out_dir with a cleared checkpoint must raise,
+    not silently overwrite epoch 0 of the previous run."""
+    import pytest
+
+    src = str(tmp_path / "pages2")
+    out = str(tmp_path / "triples2")
+    ckpt = str(tmp_path / "ckpt2")
+    _write_page_batches(spark, src, n=50)
+    q = streaming.incremental_triples(spark, src, out, ckpt, alias_dim(spark))
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() > 0
+    with pytest.raises(ValueError, match="fresh"):
+        streaming.incremental_triples(
+            spark, src, out, str(tmp_path / "ckpt_fresh"), alias_dim(spark)
+        )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -72,20 +73,23 @@ def main() -> None:
     # dominated by first-job startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Protocol (round 3): the HEADLINE number for every query and for the
+    # pipeline is the MEDIAN of the measured runs — the throughput you'd
+    # actually sustain; the minimum is still reported separately as
+    # "best observed" (capability under a clean hypervisor-noise window).
+    timings_best: dict[str, float] = {}
     for name in HEADLINE:
-        # best of two: JVM/hypervisor noise swings individual queries up
-        # to ~1.8x between runs on this VM (same protocol as kg_pipeline)
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             n = QUERIES[name](spark, sf_dir).count()
-            wall = round(time.time() - t0, 3)
-            best = wall if best is None else min(best, wall)
+            runs.append(round(time.time() - t0, 3))
             assert n >= 0
             # queries may persist shared subplans (e.g. the dedup shingle
             # frame); drop them so per-query numbers stay independent
             spark.catalog.clearCache()
-        timings[name] = best
+        timings[name] = statistics.median(runs)
+        timings_best[name] = min(runs)
 
     # full KG pipeline at a corpus size proportional to the sf: 2M pages
     # at sf=0.1 — the SAME size as BENCH_SCALING.json, so the headline
@@ -106,16 +110,12 @@ def main() -> None:
                      triple_partitions=max(cpus * 2, 32), granularity="fast")
     finally:
         shutil.rmtree(warm, ignore_errors=True)
-    # best-of-two measured runs — the SAME steady-state protocol as
-    # scripts/scaling_bench.py, so the headline triples/sec and the
-    # scaling evidence are directly comparable (JVM run-to-run variance
-    # on this VM is up to 3x until JIT settles; BENCH_r01's single
-    # measured run is what made kg_pipeline look 8x slower per page than
-    # the scaling bench)
-    # best-of-three: hypervisor noise on this VM arrives in minutes-long
-    # windows (measured swings: the same 2M-page run 56s vs 102s an hour
-    # apart) — three measured runs span enough windows to usually catch a
-    # clean one; all walls are reported
+    # three measured runs, SAME steady-state protocol as
+    # scripts/scaling_bench.py (warmup first, so JIT has settled).
+    # Hypervisor noise on this VM arrives in minutes-long windows
+    # (measured swings: the same 2M-page run 56s vs 102s an hour apart);
+    # the MEDIAN wall is the headline, the min is "best observed", and
+    # every raw wall is reported.
     walls = []
     summary = None
     for _ in range(3):
@@ -129,14 +129,19 @@ def main() -> None:
             walls.append(round(time.time() - t0, 3))
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
-    timings["kg_pipeline"] = min(walls)
+    timings["kg_pipeline"] = statistics.median(walls)
+    timings_best["kg_pipeline"] = min(walls)
 
     total = round(time.time() - t_all, 3)
     out = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
+        "protocol": "headline = median of 3 measured runs (post-warmup); "
+                    "queries_best_observed / *_best_observed = min of the "
+                    "same runs; all pipeline walls in pipeline_walls",
         "queries": timings,
+        "queries_best_observed": timings_best,
         "sf": sf,
         "cpus": cpus,
         "pipeline_pages": n_pages,
@@ -144,6 +149,8 @@ def main() -> None:
         "pipeline_walls": walls,
         "triples_per_sec": round(summary["triples"] / timings["kg_pipeline"], 2),
         "pages_per_sec": round(n_pages / timings["kg_pipeline"], 2),
+        "triples_per_sec_best_observed": round(summary["triples"] / min(walls), 2),
+        "pages_per_sec_best_observed": round(n_pages / min(walls), 2),
     }
     # attach the latest two-cluster-size evidence (scripts/scaling_bench.py)
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -29,6 +29,7 @@ UDF, so the fold runs inside codegen.
 from __future__ import annotations
 
 import hashlib
+import itertools
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +39,13 @@ LSH_SIGN_BITS = 8
 EMB_DIM = 64  # dimension of the test embeddings table
 RP_BITS = 4  # sign bits per band (bucket width 2^4)
 RP_BANDS = 8  # OR-ed bands: a pair is a candidate if ANY band matches
+# multi-probe: the QUERY side also probes every bucket within Hamming
+# distance RP_PROBES of its own band signature (corpus side untouched, so
+# the big side still gets exactly `bands` shuffle keys per vector).
+# probes=1 at 4 bits = 5 buckets/band/query — measured recall@5 on the
+# sf0.01 corpus: 0.76 → 1.00 (see scripts/ann_recall_curve.py output in
+# BASELINE.md; probes=2 adds cost with no recall left to gain there).
+RP_PROBES = 1
 
 
 def _dot(a: str | Column, b: str | Column) -> Column:
@@ -252,26 +260,53 @@ def _rp_band_bucket_sql(
     )
 
 
-def rp_lsh_topk(
+def _probe_flip_sets(bits: int, probes: int) -> list[tuple[int, ...]]:
+    """Bit-position sets of size 0..probes — every bucket within Hamming
+    distance ``probes`` of a signature is its signature with one of these
+    sets flipped."""
+    out: list[tuple[int, ...]] = [()]
+    for r in range(1, probes + 1):
+        out.extend(itertools.combinations(range(bits), r))
+    return out
+
+
+def _flip_bucket(bucket: Column, positions: tuple[int, ...], bits: int) -> Column:
+    if not positions:
+        return bucket
+    parts = []
+    for p in range(bits):
+        ch = F.substring(bucket, p + 1, 1)
+        if p in positions:
+            ch = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        parts.append(ch)
+    return F.concat(*parts)
+
+
+def _flip_bucket_sql(positions: tuple[int, ...], bits: int) -> str:
+    if not positions:
+        return "bucket"
+    parts = []
+    for p in range(bits):
+        if p in positions:
+            parts.append(
+                f"(CASE substr(bucket, {p + 1}, 1) WHEN '1' THEN '0' ELSE '1' END)"
+            )
+        else:
+            parts.append(f"substr(bucket, {p + 1}, 1)")
+    return " || ".join(parts)
+
+
+def rp_lsh_candidates(
     embeddings: DataFrame,
     n_queries: int = 10,
-    k: int = 5,
     bits: int = RP_BITS,
     bands: int = RP_BANDS,
     dim: int = EMB_DIM,
+    probes: int = RP_PROBES,
 ) -> DataFrame:
-    """Approximate top-k via banded random-hyperplane LSH.
-
-    Candidates = pairs agreeing on all ``bits`` sign bits of ≥1 of
-    ``bands`` bands; exact cosine re-ranks candidates; per-query top-k.
-    The banded equi-join is the only shuffle — each corpus vector is
-    exploded into ``bands`` small keys, never cross-joined. Recall vs the
-    brute-force oracle is measured by :func:`rp_lsh_recall` (registered
-    as an oracle-checked query): on THIS test corpus the embeddings are
-    near-random (mean top-1 cosine ≈ 0.37), which inherently caps LSH
-    recall — on clustered embeddings the same operator at the same
-    settings approaches recall 1.0 (pinned by a unit test with planted
-    clusters)."""
+    """Deduplicated (query_id, q_emb, neighbor_id, c_emb) candidate pairs
+    of the banded multi-probe RP-LSH join — the verification workload
+    whose size the recall-vs-cost curve reports."""
     banded = embeddings.select(
         F.col("vec_id"),
         F.col("embedding"),
@@ -287,11 +322,14 @@ def rp_lsh_topk(
             )
         ).alias("band"),
     ).select("vec_id", "embedding", "band.band_id", "band.bucket")
+    flip_sets = _probe_flip_sets(bits, probes)
     q = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "band_id",
-        "bucket",
+        F.explode(
+            F.array(*[_flip_bucket(F.col("bucket"), ps, bits) for ps in flip_sets])
+        ).alias("bucket"),
     )
     c = banded.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -299,12 +337,46 @@ def rp_lsh_topk(
         "band_id",
         "bucket",
     )
-    cand = (
+    return (
         c.join(F.broadcast(q), ["band_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "q_emb", "neighbor_id", "c_emb")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+
+
+def rp_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    bits: int = RP_BITS,
+    bands: int = RP_BANDS,
+    dim: int = EMB_DIM,
+    probes: int = RP_PROBES,
+) -> DataFrame:
+    """Approximate top-k via banded random-hyperplane LSH with multi-probe.
+
+    Candidates = pairs agreeing on all ``bits`` sign bits of ≥1 of
+    ``bands`` bands, where the QUERY side also probes every bucket within
+    Hamming distance ``probes`` of its band signature (Lv et al.,
+    multi-probe LSH): near neighbors that fall one sign-flip outside the
+    query's bucket — the dominant miss mode on weakly-clustered data —
+    are recovered without touching the corpus side. Exact cosine re-ranks
+    candidates; per-query top-k.
+
+    Cost shape at scale: the corpus still gets exactly ``bands`` shuffle
+    keys per vector (the only big-side work); probing multiplies only the
+    tiny broadcast query side by ``sum(C(bits, r) for r ≤ probes)`` (5×
+    at 4 bits / 1 probe) and the candidate verification volume by the
+    buckets actually hit. Measured on the sf0.01 corpus (near-random
+    embeddings, mean top-1 cosine ≈ 0.37 — the hard case for LSH):
+    recall@5 = 0.76 (probes=0) → 1.00 (probes=1) at 2.3× candidates;
+    full curve in BASELINE.md via scripts/ann_recall_curve.py. Random
+    data has no locality, so high recall there necessarily verifies a
+    large corpus fraction; on clustered embeddings (the production case,
+    pinned by the planted-cluster unit test) buckets are dense in true
+    neighbors and the candidate fraction stays small."""
+    cand = rp_lsh_candidates(embeddings, n_queries, bits, bands, dim, probes)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -324,6 +396,7 @@ def rp_lsh_topk_sql(
     bits: int = RP_BITS,
     bands: int = RP_BANDS,
     dim: int = EMB_DIM,
+    probes: int = RP_PROBES,
 ) -> str:
     band_selects = "\n      UNION ALL\n".join(
         f"      SELECT vec_id, embedding, {b} AS band_id, "
@@ -331,14 +404,22 @@ def rp_lsh_topk_sql(
         f"FROM {emb_table}"
         for b in range(bands)
     )
+    probe_selects = "\n      UNION ALL\n".join(
+        f"      SELECT query_id, q_emb, band_id, "
+        f"{_flip_bucket_sql(ps, bits)} AS bucket FROM qb"
+        for ps in _probe_flip_sets(bits, probes)
+    )
     cos = _cosine_sql("c.q_emb", "c.embedding")
     return f"""
     WITH banded AS (
 {band_selects}
     ),
-    q AS (
+    qb AS (
       SELECT vec_id AS query_id, embedding AS q_emb, band_id, bucket
       FROM banded WHERE vec_id < {n_queries}
+    ),
+    q AS (
+{probe_selects}
     ),
     cand AS (
       SELECT DISTINCT q.query_id, q.q_emb, c.vec_id AS neighbor_id, c.embedding

@@ -100,10 +100,16 @@ def test_lsh_verified_jaccard_cleanup_releases_cache(spark):
     cleanup: list = []
     from split_ner_spark.ops.dedup import lsh_verified_jaccard
 
+    def storage_ids() -> set:
+        return {
+            i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = storage_ids()  # other fixtures may hold RDD-level caches
     out = lsh_verified_jaccard(docs, cleanup=cleanup)
     n = out.count()  # materialize (shingle frame now cached + used)
     assert n > 0 and len(cleanup) == 1
     for df in cleanup:
         df.unpersist(blocking=True)
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [i.name() for i in infos]
+    leaked = storage_ids() - before
+    assert not leaked, f"cached RDDs left behind: {leaked}"

@@ -102,7 +102,56 @@ def pattern_features(tokens: list[str]) -> list[str]:
     return [make_pattern_type1(t) for t in tokens]
 
 
-# --- the adapter ----------------------------------------------------------------
+# --- head mapping + label-order derivation (hermetically tested) -------------
+
+
+def map_first_subword_predictions(
+    word_ids: list[int | None],
+    seq_ids: list[int | None],
+    pred_row,
+    n_words: int,
+    tags: list[str] = QA_TAGS,
+) -> list[str]:
+    """First-subword (type1) prediction mapping — the pure logic of the
+    reference's subword→word decode (splitner/main_qa.py:110-160 via
+    BertToken.is_head, splitner/utils/general.py:39-52), extracted so it
+    is testable WITHOUT torch: ``word_ids``/``seq_ids`` are what a fast
+    tokenizer's pair encoding returns (None on specials/pads; sequence 0
+    = query, 1 = sentence), ``pred_row`` the per-position argmax indices.
+    Only the FIRST subword of each sentence-segment word contributes; a
+    word truncated away keeps 'O'."""
+    labels = ["O"] * n_words
+    seen: set[int] = set()
+    for pos, (wid, sid) in enumerate(zip(word_ids, seq_ids)):
+        if sid != 1 or wid is None or wid in seen:
+            continue
+        seen.add(wid)
+        if wid < n_words:
+            labels[wid] = tags[int(pred_row[pos])]
+    return labels
+
+
+def derive_label_order(config, fallback: list[str]) -> list[str]:
+    """Label order from the checkpoint's ``config.id2label`` when it is
+    meaningful, else ``fallback``.
+
+    A checkpoint not trained by the reference code very often carries its
+    own id2label (e.g. token classifiers with O/B/I/E/S in a different
+    index order); silently decoding with the reference's hardcoded
+    QA_TAGS order would emit wrong tags. transformers' DEFAULT map is
+    ``LABEL_0..LABEL_{n-1}`` — that placeholder (or a missing map) is the
+    only case where the reference order (splitner/dataset_qa.py:137-150)
+    is assumed."""
+    id2label = dict(getattr(config, "id2label", None) or {})
+    if not id2label:
+        return fallback
+    try:
+        labels = [str(id2label[k]) for k in sorted(id2label, key=int)]
+    except (KeyError, TypeError, ValueError):
+        return fallback
+    if all(lab.startswith("LABEL_") for lab in labels):
+        return fallback
+    return labels
 
 
 def transformers_available() -> bool:
@@ -131,12 +180,14 @@ class HFScorer:
         type_names: list[str] | None = None,
         max_seq_len: int = 256,
         batch_size: int = 16,
+        nsp_model_path: str | None = None,
     ):
         self.detect_model_path = detect_model_path
         self.classify_model_path = classify_model_path
         self.type_names = type_names or []
         self.max_seq_len = max_seq_len
         self.batch_size = batch_size
+        self.nsp_model_path = nsp_model_path
 
     # -- lazy per-worker load (main_qa.py:41-50 twin) --
     def _load(self, path: str, task: str):
@@ -145,6 +196,7 @@ class HFScorer:
             import torch
             from transformers import (
                 AutoConfig,
+                AutoModelForNextSentencePrediction,
                 AutoModelForSequenceClassification,
                 AutoModelForTokenClassification,
                 AutoTokenizer,
@@ -152,20 +204,22 @@ class HFScorer:
 
             config = AutoConfig.from_pretrained(path)
             tokenizer = AutoTokenizer.from_pretrained(path, use_fast=True)
-            cls = (
-                AutoModelForTokenClassification
-                if task == "detect"
-                else AutoModelForSequenceClassification
-            )
+            cls = {
+                "detect": AutoModelForTokenClassification,
+                "classify": AutoModelForSequenceClassification,
+                "nsp": AutoModelForNextSentencePrediction,
+            }[task]
             model = cls.from_pretrained(path, config=config)
             model.eval()
             torch.set_grad_enabled(False)
-            _WORKER_MODELS[key] = (tokenizer, model)
+            fallback = QA_TAGS if task == "detect" else self.type_names
+            labels = derive_label_order(config, fallback)
+            _WORKER_MODELS[key] = (tokenizer, model, labels)
         return _WORKER_MODELS[key]
 
     # -- detect: BIOES labels per word (UDF #1 payload) --
     def detect_labels(self, sentences: Iterable[list[str]]) -> list[list[str]]:
-        tokenizer, model = self._load(self.detect_model_path, "detect")
+        tokenizer, model, tags = self._load(self.detect_model_path, "detect")
         sents = [list(s) for s in sentences]
         out: list[list[str]] = []
         for lo in range(0, len(sents), self.batch_size):
@@ -185,25 +239,22 @@ class HFScorer:
             logits = model(**enc).logits  # (B, T, 5)
             pred = logits.argmax(dim=2)  # model.py:291
             for b, sent in enumerate(chunk):
-                word_ids = enc.word_ids(batch_index=b)
-                seq_ids = enc.sequence_ids(b)
-                labels = ["O"] * len(sent)
-                seen: set[int] = set()
-                for pos, (wid, sid) in enumerate(zip(word_ids, seq_ids)):
-                    # first-subword (is_head) mapping, sentence segment only
-                    if sid != 1 or wid is None or wid in seen:
-                        continue
-                    seen.add(wid)
-                    if wid < len(labels):
-                        labels[wid] = QA_TAGS[int(pred[b, pos])]
-                out.append(labels)
+                out.append(
+                    map_first_subword_predictions(
+                        enc.word_ids(batch_index=b),
+                        enc.sequence_ids(b),
+                        pred[b],
+                        len(sent),
+                        tags,
+                    )
+                )
         return out
 
     # -- classify: one type per mention surface (UDF #2 payload) --
     def classify_surfaces(self, surfaces: list[str]) -> list[str]:
         if self.classify_model_path is None:
             raise ValueError("classify_model_path not configured")
-        tokenizer, model = self._load(self.classify_model_path, "classify")
+        tokenizer, model, types = self._load(self.classify_model_path, "classify")
         out: list[str] = []
         for lo in range(0, len(surfaces), self.batch_size):
             chunk = list(surfaces[lo : lo + self.batch_size])
@@ -218,7 +269,35 @@ class HFScorer:
             pred = model(**enc).logits.argmax(dim=1)  # model_span.py:58
             for p in pred:
                 i = int(p)
-                out.append(
-                    self.type_names[i] if i < len(self.type_names) else str(i)
-                )
+                out.append(types[i] if i < len(types) else str(i))
+        return out
+
+    # -- NSP: candidate previous-sentence scoring (C2 slot) --
+    def nsp_scores(self, pairs: list[tuple[str, str]]) -> list[float]:
+        """P(next) for (candidate_prev, sentence) pairs — the real-model
+        slot for the reference's helper-sentence retrieval, which scores
+        candidates with BertForNextSentencePrediction and keeps the
+        argmax (splitner/utils/next_sent_prediction.py:32-50). The
+        engine's default retrieval (ops/simsearch.cosine_topk over
+        embeddings) is a documented stand-in for this scorer; swap it in
+        by ranking candidates with this method instead of cosine.
+        ``nsp_model_path`` defaults to the detect checkpoint's path."""
+        path = self.nsp_model_path or self.detect_model_path
+        tokenizer, model, _ = self._load(path, "nsp")
+        import torch
+
+        out: list[float] = []
+        for lo in range(0, len(pairs), self.batch_size):
+            chunk = pairs[lo : lo + self.batch_size]
+            enc = tokenizer(
+                [a for a, _ in chunk],
+                [b for _, b in chunk],
+                truncation=True,
+                max_length=self.max_seq_len,
+                padding=True,
+                return_tensors="pt",
+            )
+            # label 0 = "is next" in BertForNextSentencePrediction
+            probs = torch.softmax(model(**enc).logits, dim=1)[:, 0]
+            out.extend(float(p) for p in probs)
         return out

@@ -12,6 +12,15 @@ arithmetic is bit-identical to the DuckDB oracle (verified: Spark's
 ``aggregate``/``zip_with`` left fold and DuckDB's ``list_sum`` produce
 bitwise-equal doubles on float32 inputs).
 
+C2 semantics note (explicit, per the round-2 review): the reference
+scores candidate previous sentences with a BertForNextSentencePrediction
+forward and keeps the argmax; this module's cosine top-1 over embeddings
+is a documented STAND-IN with the same dataflow shape (score candidates,
+keep best), not the same scoring function. The real-model slot is
+``HFScorer.nsp_scores`` (split_ner_spark/hf_scorer.py) — rank candidates
+with it instead of ``cosine_sim`` to reproduce the reference scoring
+exactly when torch + a checkpoint are available.
+
 Scale design:
 - **brute force**: broadcast the (small) query set against the corpus —
   one narrow pass over the big side, no shuffle of embeddings; the

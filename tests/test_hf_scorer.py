@@ -109,3 +109,56 @@ def test_real_forward_contract(spark):  # pragma: no cover - env-gated
     labels = scorer.detect_labels([["Acme", "Corp", "ships"]])
     assert len(labels) == 1 and len(labels[0]) == 3
     assert set(labels[0]) <= {"O", "B", "I", "E", "S"}
+
+
+# --- head mapping + label-order derivation (hermetic, no torch) ---------------
+
+
+def test_map_first_subword_predictions_pair_encoding_fixture():
+    """Hand-built pair-encoding layout for sentence ["Acme", "Corp",
+    "runs"] where "Acme" splits into 2 subwords and "runs" into 2:
+    [CLS] q q [SEP] Ac ##me Corp ru ##ns [SEP] — only the FIRST subword
+    of each sentence word contributes, specials/query are skipped."""
+    from split_ner_spark.hf_scorer import QA_TAGS, map_first_subword_predictions
+
+    word_ids = [None, 0, 1, None, 0, 0, 1, 2, 2, None]
+    seq_ids = [None, 0, 0, None, 1, 1, 1, 1, 1, None]
+    #          CLS   q  q   SEP  Ac ##me Co ru ##ns SEP
+    pred_row = [4, 4, 4, 4, 1, 2, 3, 0, 4, 4]  # S S S S B I E O S S
+    labels = map_first_subword_predictions(word_ids, seq_ids, pred_row, 3)
+    # Acme <- pos4 (B), Corp <- pos6 (E), runs <- pos7 (O);
+    # ##me (pos5, I) and ##ns (pos8, S) are non-head and must be ignored
+    assert labels == ["B", "E", "O"]
+    assert QA_TAGS[1] == "B" and QA_TAGS[3] == "E"
+
+
+def test_map_first_subword_predictions_truncation_keeps_O():
+    """A word truncated out of the encoding (no subword with its wid)
+    keeps 'O' — main_qa.py's decode never indexes past the encoding."""
+    from split_ner_spark.hf_scorer import map_first_subword_predictions
+
+    word_ids = [None, 0, None, 0, 1, None]
+    seq_ids = [None, 0, None, 1, 1, None]
+    pred_row = [0, 0, 0, 1, 3, 0]  # B on word0, E on word1
+    labels = map_first_subword_predictions(word_ids, seq_ids, pred_row, 4)
+    assert labels == ["B", "E", "O", "O"]  # words 2,3 truncated -> O
+
+
+def test_derive_label_order_prefers_meaningful_id2label():
+    from types import SimpleNamespace
+
+    from split_ner_spark.hf_scorer import QA_TAGS, derive_label_order
+
+    # checkpoint trained elsewhere: same tags, different index order
+    cfg = SimpleNamespace(id2label={0: "B", 1: "I", 2: "O", 3: "E", 4: "S"})
+    assert derive_label_order(cfg, QA_TAGS) == ["B", "I", "O", "E", "S"]
+    # transformers' default placeholder map -> fall back to QA_TAGS
+    cfg2 = SimpleNamespace(
+        id2label={i: f"LABEL_{i}" for i in range(5)}
+    )
+    assert derive_label_order(cfg2, QA_TAGS) == QA_TAGS
+    # string keys (json round-trip) are handled
+    cfg3 = SimpleNamespace(id2label={"1": "I", "0": "O"})
+    assert derive_label_order(cfg3, QA_TAGS) == ["O", "I"]
+    # no id2label at all -> fallback
+    assert derive_label_order(SimpleNamespace(), QA_TAGS) == QA_TAGS

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..reference_impl import PUNCT_CHARS
-from .lsh import char_shingles_col, lsh_similarity_join
+from .lsh import _band_rows, char_shingles_col, jaccard_col
 
 
 def norm_surface_col(col: F.Column) -> F.Column:
@@ -85,34 +85,44 @@ def link_mentions(
     ).select("surface_norm", "canonical_id", "dict_type", F.lit("exact").alias("linked_via"))
 
     if fuzzy:
+        # The dictionary is a broadcastable dimension, so the WHOLE fuzzy
+        # path runs shuffle-free except one groupBy: missed surfaces
+        # (narrow anti-join) → band rows carrying their shingle arrays →
+        # broadcast band join against the dictionary's band rows → exact
+        # Jaccard verify inline (both shingle arrays are on the row) →
+        # one groupBy(surface) keeping the best match. The old shape
+        # (generic lsh_similarity_join + distinct + two verify joins + a
+        # ranking window) ran ~25 small job rounds here — pure fixed cost
+        # at pipeline scale, since |distinct surfaces| ≪ |mentions|.
+        # Best-match tie-break is unchanged: max jaccard, then min
+        # alias_norm (min of struct(-jaccard, alias_norm)).
         missed = surfaces.join(
             F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "left_anti"
         )
-
         m_sh = missed.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
-        d_sh = dim.withColumn("shingles", char_shingles_col(F.col("alias_norm")))
-        fuzzy_pairs = lsh_similarity_join(
-            m_sh,
-            d_sh.select("alias_norm", "shingles"),
-            "surface_norm",
-            "alias_norm",
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=jaccard_threshold,
+        d_sh = dim.select(
+            "alias_norm", char_shingles_col(F.col("alias_norm")).alias("_dsh")
         )
-        from pyspark.sql import Window as W
-
+        mb = _band_rows(m_sh, "surface_norm", "shingles", num_hashes, bands,
+                        keep=("shingles",))
+        db = _band_rows(d_sh, "alias_norm", "_dsh", num_hashes, bands,
+                        keep=("_dsh",))
+        scored = (
+            mb.join(F.broadcast(db), ["band_idx", "band_hash"])
+            .withColumn("jaccard", jaccard_col(F.col("shingles"), F.col("_dsh")))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+        )
         best = (
-            fuzzy_pairs.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("surface_norm").orderBy(
-                        F.col("jaccard").desc(), F.col("alias_norm")
+            scored.groupBy("surface_norm")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("jaccard")).alias("_nj"),
+                        F.col("alias_norm").alias("alias_norm"),
                     )
-                ),
+                ).alias("_b")
             )
-            .filter(F.col("rn") == 1)
-            .drop("rn", "jaccard")
+            .select("surface_norm", F.col("_b.alias_norm").alias("alias_norm"))
         )
         fuzzy_links = (
             best.join(F.broadcast(dim), "alias_norm")

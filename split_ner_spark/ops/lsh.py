@@ -52,8 +52,16 @@ def minhash_signature_col(shingles_col: F.Column, num_hashes: int = 32) -> F.Col
 
 
 def _band_rows(
-    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int, bands: int
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_hashes: int,
+    bands: int,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
+    """(id, band_idx, band_hash) rows, optionally carrying ``keep`` columns
+    through the explode (e.g. the shingle array, so a downstream verify
+    join is unnecessary when one side is broadcastable)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature_col(F.col(shingles_col), num_hashes)
     banded = F.transform(
@@ -70,7 +78,9 @@ def _band_rows(
         ),
     )
     return df.select(
-        F.col(id_col), F.posexplode(banded).alias("band_idx", "band_hash")
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        F.posexplode(banded).alias("band_idx", "band_hash"),
     )
 
 

@@ -71,6 +71,9 @@ def per_type_contexts(
     tag_names: DataFrame,
     tokens_col: str = "tokens",
     tags_col: str | None = None,
+    helper_sentence: bool = False,
+    train: bool = False,
+    max_seq_len: int | None = None,
 ) -> DataFrame:
     """Q2 (Single(QA) baseline): one context per (sentence × entity type).
 
@@ -78,10 +81,46 @@ def per_type_contexts(
     multiplies cardinality by N_types, which is exactly the cost the
     split design avoids. When ``tags_col`` (BIO tags per token) is given,
     labels are binarized per type (token=1 iff its tag's type matches —
-    dataset_qa.py:252-296 binarization)."""
+    dataset_qa.py:252-296 binarization).
+
+    ``helper_sentence`` reproduces the reference's
+    ``add_qa_helper_sentence`` arm (dataset_qa.py:212-230): a copy of the
+    sentence is placed INSIDE the query segment (token_type 0), before
+    the first [SEP]. At inference (``train=False``) the helper is the
+    full sentence; at train time a token is kept iff it is O or belongs
+    to the target type, and dropped otherwise. (The reference's
+    ``tag_to_text_mapping`` substitution branch at :218-219 is
+    unreachable for single-tag tokens — the ``tag in token_tags`` test
+    at :217 already matches B-/I- of the target type — so the reachable
+    semantics are what is mirrored here.) ``max_seq_len`` applies the
+    reference's tail truncation (:301-303: clip to max_seq_len-1, then
+    append the final [SEP])."""
     q = tag_query_tokens(F.col("tag_name"))
+    if helper_sentence:
+        if train and tags_col is not None:
+            kept = F.filter(
+                F.arrays_zip(F.col(tokens_col), F.col(tags_col)),
+                lambda s: (s[tags_col] == "O")
+                | (F.substring(s[tags_col], 3, 1000) == F.col("entity_type")),
+            )
+            helper = F.transform(kept, lambda s: s[tokens_col])
+        else:
+            helper = F.col(tokens_col)
+        q = F.concat(q, helper)
+    if max_seq_len is None:
+        ctx = _context_tokens(q, F.col(tokens_col))
+    else:
+        # reference layout with tail truncation: everything before the
+        # final [SEP] is clipped to max_seq_len-1, then [SEP] appended
+        body = F.concat(
+            F.array(F.lit("[CLS]")), q, F.array(F.lit("[SEP]")),
+            F.col(tokens_col),
+        )
+        ctx = F.concat(
+            F.slice(body, 1, max_seq_len - 1), F.array(F.lit("[SEP]"))
+        )
     out = sentences.crossJoin(F.broadcast(tag_names)).withColumn(
-        "context_tokens", _context_tokens(q, F.col(tokens_col))
+        "context_tokens", ctx
     ).withColumn("n_context_tokens", F.size("context_tokens"))
     if tags_col is not None:
         binarized = F.transform(

@@ -213,3 +213,62 @@ def test_rp_lsh_recall_on_clustered_embeddings(spark):
     r = rp_lsh_recall(emb, n_queries=10, k=5).collect()[0]
     assert r["n_exact"] == 50
     assert r["recall"] >= 0.95
+
+
+def test_per_type_contexts_helper_sentence_reference_settings(spark):
+    """Q2 helper-sentence arm (dataset_qa.py:212-230) at the reference's
+    settings: inference mode embeds the full sentence in the query
+    segment; train mode keeps only O + target-type tokens; max_seq_len
+    clips before the final [SEP]."""
+    from split_ner_spark.ops.contexts import per_type_contexts
+
+    sents = spark.createDataFrame(
+        [(0, ["Alice", "visited", "Paris", "today"],
+          ["B-PER", "O", "B-LOC", "O"])],
+        "sent_id int, tokens array<string>, tags array<string>",
+    )
+    tags = spark.createDataFrame(
+        [("PER", "person"), ("LOC", "location")],
+        "entity_type string, tag_name string",
+    )
+    # inference: helper = full sentence inside segment 0
+    inf = {
+        r["entity_type"]: r["context_tokens"]
+        for r in per_type_contexts(
+            sents, tags, tags_col="tags", helper_sentence=True, train=False
+        ).collect()
+    }
+    q_per = "What is the person mentioned in the text ?".split(" ")
+    assert inf["PER"] == (
+        ["[CLS]"] + q_per + ["Alice", "visited", "Paris", "today"]
+        + ["[SEP]"] + ["Alice", "visited", "Paris", "today"] + ["[SEP]"]
+    )
+    # train: only O + target-type tokens survive in the helper
+    tr = {
+        r["entity_type"]: r["context_tokens"]
+        for r in per_type_contexts(
+            sents, tags, tags_col="tags", helper_sentence=True, train=True
+        ).collect()
+    }
+    assert tr["PER"] == (
+        ["[CLS]"] + q_per + ["Alice", "visited", "today"]
+        + ["[SEP]"] + ["Alice", "visited", "Paris", "today"] + ["[SEP]"]
+    )
+    # binarized labels ride along (dataset_qa.py:252-296)
+    bl = {
+        r["entity_type"]: r["binary_labels"]
+        for r in per_type_contexts(
+            sents, tags, tags_col="tags", helper_sentence=True, train=True
+        ).collect()
+    }
+    assert bl["PER"] == [1, 0, 0, 0] and bl["LOC"] == [0, 0, 1, 0]
+    # max_seq_len truncation: clip to max-1 then final [SEP]
+    short = per_type_contexts(
+        sents, tags, max_seq_len=12
+    ).collect()[0]["context_tokens"]
+    assert len(short) == 12 and short[-1] == "[SEP]" and short[0] == "[CLS]"
+    # shorter-than-max contexts must NOT get a duplicate [SEP]
+    long_ok = per_type_contexts(
+        sents, tags, max_seq_len=256
+    ).collect()[0]["context_tokens"]
+    assert long_ok[-1] == "[SEP]" and long_ok[-2] != "[SEP]"

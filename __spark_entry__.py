@@ -2,11 +2,13 @@
 
 ``entry`` runs the flagship mini-KG query (segment → detect → W3 span
 assembly → typed mention counts) over the sf0.001 documents table;
-``queries``/``oracle_sql`` expose every oracle-checkable operator from
-SURVEY.md §2 plus the training-data-pipeline families (dedup, ANN,
-text analysis) — see ``split_ner_spark/queries.py`` for the paired
-implementations. Entries without an oracle (Arrow-UDF pipeline stages,
-multimodal stubs) get the driver's rows-only check.
+``queries``/``oracle_sql`` expose every operator from SURVEY.md §2 plus
+the training-data-pipeline families (dedup, ANN, text analysis) — see
+``split_ner_spark/queries.py`` for the paired implementations. As of
+round 3 EVERY entry has a DuckDB oracle twin (zero rows-only checks):
+``pipeline_triples`` hash-checks the full segment→detect→assemble→
+classify→link→triples chain, and ``multimodal_features`` checks the
+binary-payload digests.
 """
 
 from __future__ import annotations

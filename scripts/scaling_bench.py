@@ -112,10 +112,14 @@ def run_one(cpus: int, n_pages: int, light: bool = False) -> None:
         shuffle_walls.append(round(time.time() - t0, 2))
 
     # per-stage breakdown (the non-UDF residual): mentions commit /
-    # link+canonicalize / make_triples distinct / salted write — best of
-    # two, measured stage-by-stage so the scaling loss can be itemized
+    # link+canonicalize / make_triples distinct / salted write — measured
+    # stage-by-stage so the scaling loss can be itemized. Light legs run
+    # ONE rep too: stage walls previously came only from the full leg,
+    # i.e. a single noise window, which round 3 measured poisoning one
+    # width's stage numbers by 6x while the job wall (other windows) was
+    # fine.
     stage_walls: dict[str, float] = {}
-    for _ in range(0 if light else 2):
+    for _ in range(1 if light else 2):
         wd = tempfile.mkdtemp(prefix=f"scaling_stages_{cpus}_", dir=tmp_root)
         try:
             from split_ner_spark.ops.canon import canonicalize_self_linked

@@ -80,25 +80,25 @@ def link_mentions(
         .cache()
     )
 
-    exact = surfaces.join(
-        F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "inner"
-    ).select("surface_norm", "canonical_id", "dict_type", F.lit("exact").alias("linked_via"))
+    # ONE left-join cascade builds the whole surface→entity dimension:
+    # exact hit (broadcast dict left join) → fuzzy best (broadcast band
+    # join + one groupBy over the exact misses) → self, resolved with
+    # coalesce in a single projection. The round-2 shape (three branches
+    # + two anti-joins + an intermediate cached union) spent ~25 small
+    # job rounds building this dimension — pure fixed cost at pipeline
+    # scale, since |distinct surfaces| ≪ |mentions|.
+    s1 = surfaces.join(
+        F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "left"
+    ).select("surface_norm", "canonical_id", "dict_type")
 
     if fuzzy:
-        # The dictionary is a broadcastable dimension, so the WHOLE fuzzy
-        # path runs shuffle-free except one groupBy: missed surfaces
-        # (narrow anti-join) → band rows carrying their shingle arrays →
-        # broadcast band join against the dictionary's band rows → exact
-        # Jaccard verify inline (both shingle arrays are on the row) →
-        # one groupBy(surface) keeping the best match. The old shape
-        # (generic lsh_similarity_join + distinct + two verify joins + a
-        # ranking window) ran ~25 small job rounds here — pure fixed cost
-        # at pipeline scale, since |distinct surfaces| ≪ |mentions|.
-        # Best-match tie-break is unchanged: max jaccard, then min
-        # alias_norm (min of struct(-jaccard, alias_norm)).
-        missed = surfaces.join(
-            F.broadcast(dim), surfaces.surface_norm == dim.alias_norm, "left_anti"
-        )
+        # Fuzzy path, shuffle-free except one groupBy: exact misses →
+        # band rows carrying their shingle arrays → broadcast band join
+        # against the dictionary's band rows → exact Jaccard verify
+        # inline (both shingle arrays are on the row) → one
+        # groupBy(surface) keeping the best match (max jaccard, then min
+        # alias_norm — min of struct(-jaccard, alias_norm)).
+        missed = s1.filter(F.col("canonical_id").isNull()).select("surface_norm")
         m_sh = missed.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
         d_sh = dim.select(
             "alias_norm", char_shingles_col(F.col("alias_norm")).alias("_dsh")
@@ -124,40 +124,43 @@ def link_mentions(
             )
             .select("surface_norm", F.col("_b.alias_norm").alias("alias_norm"))
         )
-        fuzzy_links = (
-            best.join(F.broadcast(dim), "alias_norm")
-            .select("surface_norm", "canonical_id", "dict_type", F.lit("lsh").alias("linked_via"))
-        )
-        # cache: the dictionary-linked dimension feeds BOTH the self-link
-        # anti-join and the final union — without it the LSH join subplan
-        # executes twice.
-        linked_dim = exact.unionByName(fuzzy_links).cache()
-    else:
-        linked_dim = exact.cache()
-    self_linked = (
-        surfaces.join(linked_dim, "surface_norm", "left_anti")
-        .select(
+        fuzzy_dim = best.join(F.broadcast(dim), "alias_norm").select(
             "surface_norm",
-            F.concat(F.lit("surface:"), F.col("surface_norm")).alias("canonical_id"),
-            F.lit(None).cast("string").alias("dict_type"),
-            F.lit("self").alias("linked_via"),
+            F.col("canonical_id").alias("_f_cid"),
+            F.col("dict_type").alias("_f_type"),
         )
-    )
+        resolved = s1.join(F.broadcast(fuzzy_dim), "surface_norm", "left")
+    else:
+        resolved = s1.withColumn(
+            "_f_cid", F.lit(None).cast("string")
+        ).withColumn("_f_type", F.lit(None).cast("string"))
+
     # eagerly materialize the final surface→entity dimension (it is as
     # small as |distinct surfaces|), THEN broadcast it into the fact join.
-    # Order matters: broadcasting the unmaterialized multi-branch subplan
-    # re-executes all three branches inside the broadcast build, and a
-    # cached-but-unmaterialized dimension has unknown stats, which planned
-    # the 10^6+-row fact join as sort-merge (measured 5x slower). At
-    # 10^12 docs with a dimension past the broadcast budget, drop the hint
-    # and pre-partition both sides on surface_norm instead.
-    full_dim = linked_dim.unionByName(self_linked).cache()
+    # Order matters: broadcasting the unmaterialized subplan re-executes
+    # it inside the broadcast build, and a cached-but-unmaterialized
+    # dimension has unknown stats, which planned the 10^6+-row fact join
+    # as sort-merge (measured 5x slower). At 10^12 docs with a dimension
+    # past the broadcast budget, drop the hint and pre-partition both
+    # sides on surface_norm instead.
+    full_dim = resolved.select(
+        "surface_norm",
+        F.coalesce(
+            F.col("canonical_id"),
+            F.col("_f_cid"),
+            F.concat(F.lit("surface:"), F.col("surface_norm")),
+        ).alias("canonical_id"),
+        F.coalesce(F.col("dict_type"), F.col("_f_type")).alias("dict_type"),
+        F.when(F.col("canonical_id").isNotNull(), F.lit("exact"))
+        .when(F.col("_f_cid").isNotNull(), F.lit("lsh"))
+        .otherwise(F.lit("self"))
+        .alias("linked_via"),
+    ).cache()
     full_dim.count()
     # full_dim is materialized — its upstreams are no longer needed (an
     # LRU-evicted full_dim block would recompute from scratch, which is
     # correct, just slower; a long-running stream must not accumulate them)
     surfaces.unpersist()
-    linked_dim.unpersist()
     if cleanup is not None:
         cleanup.append(full_dim)
 

@@ -251,39 +251,55 @@ def canonicalize_self_linked(
     from .lsh import char_shingles_col, lsh_self_join  # local import: no cycle
 
     # eager-materialize the tiny unknown-surface dimension ONCE: the CC
-    # loop below runs many small jobs, and without a materialization point
-    # each would rescan the (large, cached-but-columnar) fact table.
+    # work below runs several small jobs, and without a materialization
+    # point each would rescan the (large, cached-but-columnar) fact table.
     self_surf = (
         linked.filter(F.col("linked_via") == "self")
         .select("surface_norm")
         .distinct()
         .cache()
     )
-    if self_surf.count() == 0:
-        self_surf.unpersist()
-        return linked
     sh = self_surf.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
     pairs = lsh_self_join(
         sh, "surface_norm", num_hashes=num_hashes, bands=bands,
         threshold=jaccard_threshold,
-    ).cache()
-    if pairs.isEmpty():
+    )
+    # ONE driver round answers three questions (emptiness, driver-path
+    # eligibility, and — when small — the edge list itself); the old
+    # shape spent a count + an isEmpty + connected_components' own
+    # head-collect, three separate job rounds of pure fixed cost.
+    driver_threshold = 100_000
+    head = pairs.limit(driver_threshold + 1).collect()
+    if not head:
         # no near-duplicate unknown surfaces — nothing to merge
-        pairs.unpersist()
         self_surf.unpersist()
         return linked
-    comp = canonical_components(
-        self_surf.select(F.col("surface_norm").alias("node")),
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
-    ).select(
-        F.col("node").alias("surface_norm"),
-        F.concat(F.lit("surface:"), F.col("component")).alias("_canon2"),
+    if len(head) <= driver_threshold:
+        schema = self_surf.select(
+            F.col("surface_norm").alias("node"),
+            F.col("surface_norm").alias("component"),
+        ).schema
+        cc = _driver_union_find(
+            [(r["a"], r["b"]) for r in head], linked.sparkSession, schema
+        )
+    else:
+        cc = star_contraction_components(
+            pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        )
+    comp = (
+        self_surf.select(F.col("surface_norm").alias("node"))
+        .join(cc, "node", "left")
+        .select(
+            F.col("node").alias("surface_norm"),
+            F.concat(
+                F.lit("surface:"), F.coalesce("component", "node")
+            ).alias("_canon2"),
+        )
     )
     # materialize the (small) surface→component map, then release the
-    # upstream caches — otherwise every pipeline/stream invocation leaks
-    # two cached frames into executor storage
+    # upstream cache — otherwise every pipeline/stream invocation leaks
+    # cached frames into executor storage
     comp = comp.localCheckpoint()
-    pairs.unpersist()
     self_surf.unpersist()
     out = (
         linked.join(comp, "surface_norm", "left")

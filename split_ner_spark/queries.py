@@ -1109,10 +1109,12 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     (capitalization + sentence breaks both engines derive identically), so
     the detector genuinely fires and every stage transforms real data.
     ``fuzzy=False`` on linking for cross-engine determinism (xxhash64 has
-    no DuckDB twin); the fuzzy arm is covered by test_lsh_canon. The
-    RNG-corpus production run of the same chain stays covered by the
-    P/R≥0.95 gate (test_pipeline_e2e) and fused-vs-staged equality
-    (test_fused); this query pins the chain's VALUES, not just its rates."""
+    no DuckDB twin); the fuzzy arm is covered by test_lsh_canon, and the
+    pipeline's self-surface canonicalization step (ops/canon.py) by the
+    dedup_components oracle + test_lsh_canon. The RNG-corpus production
+    run of the same chain stays covered by the P/R≥0.95 gate
+    (test_pipeline_e2e) and fused-vs-staged equality (test_fused); this
+    query pins the chain's VALUES, not just its rates."""
     from .ops.assemble import assemble_untyped
     from .ops.classify import classify_mentions
     from .ops.detect import detect_spans

@@ -174,6 +174,9 @@ def incremental_triples(
     out_dir: str,
     checkpoint_dir: str,
     alias_df: DataFrame,
+    dedupe: bool = False,
+    dedupe_watermark: str = "30 days",
+    max_files: int = 4,
 ) -> "object":
     """foreachBatch incremental pipeline: per micro-batch, run the batch
     link+triples stages and write the batch's triples into an
@@ -185,6 +188,14 @@ def incremental_triples(
     caches are unpersisted after each write so a long-running stream does
     not accumulate executor storage. Returns the started StreamingQuery
     (caller stops it).
+
+    ``dedupe=True`` composes :func:`first_seen_pages` in front of the
+    batch stages — the full crawl shape: re-crawled urls (duplicates
+    across micro-batches, within ``dedupe_watermark``) are dropped by
+    the sharded stateful operator BEFORE the mention UDF ever runs, so a
+    re-crawl costs one state lookup instead of a full re-extraction, and
+    a url's ``mentioned_in`` triples land in exactly one epoch while the
+    dedup state holds (see first_seen_pages for the eviction contract).
 
     Guard: epoch ids come from the streaming checkpoint, so reusing a
     non-empty ``out_dir`` with a FRESH checkpoint would restart epochs at
@@ -219,7 +230,9 @@ def incremental_triples(
         for df in cleanup:
             df.unpersist()
 
-    stream = stream_pages(spark, pages_path)
+    stream = stream_pages(spark, pages_path, max_files=max_files)
+    if dedupe:
+        stream = first_seen_pages(stream, watermark=dedupe_watermark).drop("host")
     return (
         stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

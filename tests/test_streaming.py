@@ -180,3 +180,48 @@ def test_incremental_triples_refuses_fresh_checkpoint_over_data(spark, tmp_path)
         streaming.incremental_triples(
             spark, src, out, str(tmp_path / "ckpt_fresh"), alias_dim(spark)
         )
+
+
+def test_incremental_triples_with_streaming_dedup(spark, tmp_path):
+    """Crawl-shaped composition: first_seen_pages feeds the incremental
+    pipeline. A url re-crawled in a later micro-batch must not re-emit
+    its triples (its mentioned_in appears in exactly one epoch)."""
+    from datetime import datetime
+
+    src = str(tmp_path / "crawl_pages")
+    out = str(tmp_path / "crawl_triples")
+    ckpt = str(tmp_path / "crawl_ckpt")
+    mk = lambda i: (  # noqa: E731
+        f"https://site{i % 2}.test/p{i}", datetime(2024, 1, 1, i % 24), None,
+        f"Alice Smith visited Paris {i} . the data table", "en",
+    )
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    batch1 = [mk(i) for i in range(6)]
+    batch2 = [mk(i) for i in range(3)] + [mk(i) for i in range(6, 9)]  # 3 re-crawls
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    alias = spark.createDataFrame(
+        [("Alice Smith", "per:alice", "person")],
+        "alias string, canonical_id string, entity_type string",
+    )
+    q = streaming.incremental_triples(
+        spark, src, out, ckpt, alias, dedupe=True, max_files=1
+    )
+    q.awaitTermination(180)
+    # with max_files=1 the re-crawls really arrive in a LATER micro-batch
+    import os
+    epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+    assert len(epochs) >= 2, epochs
+    got = spark.read.parquet(out)
+    m = got.filter(got.pred == "mentioned_in").select("obj", "epoch").collect()
+    per_url: dict[str, set] = {}
+    for r in m:
+        per_url.setdefault(r["obj"], set()).add(r["epoch"])
+    assert len(per_url) == 9  # 9 distinct urls
+    for url, epochs in per_url.items():
+        assert len(epochs) == 1, f"{url} emitted in multiple epochs {epochs}"

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from split_ner_spark import corpus  # noqa: E402
 from split_ner_spark.pipeline import run_pipeline  # noqa: E402
-from split_ner_spark.queries import QUERIES  # noqa: E402
+from split_ner_spark.queries import QUERIES, drain_cache  # noqa: E402
 from split_ner_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -86,7 +86,10 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
             assert n >= 0
             # queries may persist shared subplans (e.g. the dedup shingle
-            # frame); drop them so per-query numbers stay independent
+            # frame); drain the deferred-unpersist registry (also frees the
+            # Python-side references) and drop any stragglers so per-query
+            # numbers stay independent
+            drain_cache()
             spark.catalog.clearCache()
         timings[name] = statistics.median(runs)
         timings_best[name] = min(runs)
@@ -170,7 +173,16 @@ def main() -> None:
             "triples_per_sec_4N": s.get("runs", {}).get("16", {}).get("triples_per_sec"),
         }
     spark.stop()
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # ALSO write the summary to a file: the round-3 driver's stdout tail
+    # capture truncated the final JSON line mid-stream (BENCH_r03.json
+    # `parsed: null`), so the artifact must never depend on stdout alone.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SUMMARY.json"), "w"
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

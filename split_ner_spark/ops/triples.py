@@ -9,7 +9,7 @@ From linked typed mentions, emit the (subj, pred, obj) relation:
 Skew: the corpus plants Zipf-skewed entities (the hottest subject is in
 ~10% of pages — corpus.py), so a naive ``repartition(subj)`` would put a
 tenth of the output through one task. The writer therefore detects heavy
-hitters with a cheap count aggregate and spreads ONLY those across
+hitters from a small deterministic sample and spreads ONLY those across
 ``n_salts`` salt buckets (salt = deterministic hash of the full triple):
 cold keys keep locality, hot keys parallelize. AQE handles join-side skew;
 this handles write/partition-side skew, which AQE does not (SURVEY §4).
@@ -82,27 +82,60 @@ def salted_by_subject(
     n_partitions: int = 64,
     n_salts: int = 16,
     hot_fraction: float = 0.01,
+    sample_fraction: float = 0.05,
+    hot_subjects: list | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Repartition triples by (subj, salt) where salt spreads heavy
-    subjects. Hot set = subjects holding > hot_fraction of all triples
-    (exact count agg — cheap: one int per distinct subject; at extreme
-    cardinality swap in approx freq-sketch over a sample).
-    Deterministic: salt is a hash of the full triple, not a random()."""
-    counts = triples.groupBy("subj").agg(F.count("*").alias("c")).cache()
-    # total from the per-subject counts — one pass over `triples`, not two
-    total = counts.agg(F.sum("c")).collect()[0][0] or 0
-    hot = counts.filter(F.col("c") > hot_fraction * total).select(
-        "subj", F.lit(True).alias("_hot")
-    )
-    salted = (
-        triples.join(F.broadcast(hot), "subj", "left")
-        .withColumn(
+    subjects across ``n_salts`` buckets; cold subjects keep one bucket.
+
+    Hot-set detection runs over a ``sample_fraction`` sample, not an
+    exact full-data count agg: a subject holding > ``hot_fraction`` of
+    all triples is (by definition) massively represented in any sample,
+    so a 5% sample finds it with near-certainty while costing 1/20th of
+    the shuffled bytes — this is the detection cost that used to be the
+    largest single item of the pipeline's fixed (non-data-proportional)
+    wall. The sampled per-subject counts are collected driver-side
+    (bounded: at most ~1/hot_fraction subjects can exceed the threshold,
+    capped harder below) and the salt decision becomes a broadcast-free
+    ``isin`` literal — no join, no cached frame survives the call.
+
+    ``hot_subjects``: pass an explicit list to skip detection entirely —
+    a streaming caller reuses the prior epoch's hot set (hot subjects
+    are stable across crawl epochs).
+
+    Output VALUES are unchanged by any of this (salt is dropped);
+    only the physical partitioning differs. Salt is a deterministic hash
+    of the full triple, not a random()."""
+    if hot_subjects is None:
+        # ≤ 1/hot_fraction subjects can each hold > hot_fraction of the
+        # data; 4x headroom absorbs sample noise near the threshold
+        cap = 4 * int(1.0 / hot_fraction) + 1
+        counts = (
+            triples.sample(fraction=sample_fraction, seed=seed)
+            .groupBy("subj")
+            .agg(F.count("*").alias("c"))
+            .cache()  # eagerly released below — never escapes this call
+        )
+        try:
+            total = counts.agg(F.sum("c")).collect()[0][0] or 0
+            hot_rows = (
+                counts.filter(F.col("c") > hot_fraction * total)
+                .orderBy(F.desc("c"))
+                .limit(cap)
+                .collect()
+            )
+        finally:
+            counts.unpersist()
+        hot_subjects = [r["subj"] for r in hot_rows]
+    if hot_subjects:
+        salted = triples.withColumn(
             "salt",
             F.when(
-                F.col("_hot"),
+                F.col("subj").isin(hot_subjects),
                 F.pmod(F.xxhash64("subj", "pred", "obj"), F.lit(n_salts)),
             ).otherwise(F.lit(0)),
         )
-        .drop("_hot")
-    )
+    else:
+        salted = triples.withColumn("salt", F.lit(0))
     return salted.repartition(n_partitions, "subj", "salt").drop("salt")

@@ -182,9 +182,12 @@ def run_pipeline(
         # (typed/mentioned/co-mention a+b) and the salting pass twice more —
         # without a materialization point each pass re-executes the link
         # join. In full mode the committed "linked" table plays this role.
+        _link_cleanup: list = []
         linked = (
             canonicalize_self_linked(
-                link_mentions(mentions, alias_dim(spark, seed))
+                link_mentions(
+                    mentions, alias_dim(spark, seed), cleanup=_link_cleanup
+                )
             )
             # make_triples only needs these four columns — a slim cache is
             # ~4x smaller than the full mention rows
@@ -201,6 +204,8 @@ def run_pipeline(
         )
         tri.unpersist()
         linked.unpersist()
+        for _df in _link_cleanup:
+            _df.unpersist()
         stage_names = ["mentions", "triples"]
     else:
         pg = sc.stage("pages_gold", build_pages_gold, resume)
@@ -213,13 +218,20 @@ def run_pipeline(
             lambda: classify_mentions(assemble_untyped(detected)).drop("tokens"),
             resume,
         )
+        _link_cleanup: list = []
         linked = sc.stage(
             "linked",
             lambda: canonicalize_self_linked(
-                link_mentions(mentions, alias_dim(spark, seed))
+                link_mentions(
+                    mentions, alias_dim(spark, seed), cleanup=_link_cleanup
+                )
             ),
             resume,
         )
+        # the "linked" stage is committed to parquet at this point, so the
+        # link dim cache is no longer needed by anything downstream
+        for _df in _link_cleanup:
+            _df.unpersist()
         triples = sc.stage(
             "triples",
             lambda: salted_by_subject(make_triples(linked), triple_partitions),

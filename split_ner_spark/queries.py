@@ -50,6 +50,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Deferred cache cleanup. A few operators (dedup.lsh_verified_jaccard,
+# link.link_mentions) cache a shared intermediate dimension that must stay
+# cached until the CALLER materializes the returned frame — so the query
+# wrapper cannot unpersist before returning. Wrappers thread this registry
+# as the operators' ``cleanup`` list; any harness that materializes query
+# results calls :func:`drain_cache` afterwards (bench.py does after every
+# query; tests/test_no_cache_leak.py runs EVERY registry entry and asserts
+# the Spark cache manager ends empty). A harness that never drains leaks at
+# most one bounded dim per leaky-query invocation — the long-lived callers
+# (streaming foreachBatch, pipeline stages) all clean up eagerly inline.
+_DEFERRED_UNPERSIST: list[DataFrame] = []
+
+
+def drain_cache() -> int:
+    """Unpersist every registered deferred frame; returns how many."""
+    n = 0
+    while _DEFERRED_UNPERSIST:
+        _DEFERRED_UNPERSIST.pop().unpersist()
+        n += 1
+    return n
+
+
 def _isum(c: Column, scale: int = 10000) -> Column:
     """Order-independent sum of a double column: integerize per row, sum
     exactly as long, convert back. Matches the SQL twin bit-for-bit."""
@@ -637,8 +659,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production shape: MinHash-LSH candidates → exact Jaccard verify."""
-    return dedup.lsh_verified_jaccard(load(spark, sf_dir, "documents"))
+    """Production shape: MinHash-LSH candidates → exact Jaccard verify.
+
+    The shared shingle cache is registered for deferred unpersist (see
+    ``drain_cache``) instead of leaking one cached frame per call."""
+    return dedup.lsh_verified_jaccard(
+        load(spark, sf_dir, "documents"), cleanup=_DEFERRED_UNPERSIST
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,7 +997,9 @@ def q_kg_linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias_df = spark.createDataFrame(
         LINK_ALIAS_ROWS, "alias string, canonical_id string, entity_type string"
     )
-    linked = link_mentions(mentions, alias_df, fuzzy=False)
+    linked = link_mentions(
+        mentions, alias_df, fuzzy=False, cleanup=_DEFERRED_UNPERSIST
+    )
     return make_triples(linked)
 
 
@@ -1136,7 +1165,9 @@ def q_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     alias_df = spark.createDataFrame(
         LINK_ALIAS_ROWS, "alias string, canonical_id string, entity_type string"
     )
-    linked = link_mentions(mentions, alias_df, fuzzy=False)
+    linked = link_mentions(
+        mentions, alias_df, fuzzy=False, cleanup=_DEFERRED_UNPERSIST
+    )
     return make_triples(linked)
 
 

@@ -151,6 +151,18 @@ def derive_label_order(config, fallback: list[str]) -> list[str]:
         return fallback
     if all(lab.startswith("LABEL_") for lab in labels):
         return fallback
+    if labels != list(fallback):
+        # the checkpoint's vocabulary wins, but NOT silently: a checkpoint
+        # typed PER/ORG where the caller configured person/organization
+        # would otherwise shift every downstream entity_type string with
+        # no signal to the operator
+        import warnings
+
+        warnings.warn(
+            "checkpoint id2label overrides the configured label order: "
+            f"checkpoint={labels} configured={list(fallback)}",
+            stacklevel=2,
+        )
     return labels
 
 
@@ -274,17 +286,20 @@ class HFScorer:
 
     # -- NSP: candidate previous-sentence scoring (C2 slot) --
     def nsp_scores(self, pairs: list[tuple[str, str]]) -> list[float]:
-        """P(next) for (candidate_prev, sentence) pairs — the real-model
-        slot for the reference's helper-sentence retrieval, which scores
-        candidates with BertForNextSentencePrediction and keeps the
-        argmax (splitner/utils/next_sent_prediction.py:32-50). The
-        engine's default retrieval (ops/simsearch.cosine_topk over
-        embeddings) is a documented stand-in for this scorer; swap it in
-        by ranking candidates with this method instead of cosine.
-        ``nsp_model_path`` defaults to the detect checkpoint's path."""
+        """Raw "is-next" logit for (candidate_prev, sentence) pairs — the
+        real-model slot for the reference's helper-sentence retrieval,
+        which scores candidates with BertForNextSentencePrediction and
+        keeps the argmax of the RAW class-0 logit
+        (splitner/utils/next_sent_prediction.py:32-50). Returning that
+        logit (not softmax P(next), which is monotone in l0−l1, not l0)
+        means ranking candidates by this score reproduces the reference's
+        best-candidate choice exactly. The engine's default retrieval
+        (ops/simsearch.cosine_topk over embeddings) is a documented
+        stand-in for this scorer; swap it in by ranking candidates with
+        this method instead of cosine. ``nsp_model_path`` defaults to the
+        detect checkpoint's path."""
         path = self.nsp_model_path or self.detect_model_path
         tokenizer, model, _ = self._load(path, "nsp")
-        import torch
 
         out: list[float] = []
         for lo in range(0, len(pairs), self.batch_size):
@@ -297,7 +312,8 @@ class HFScorer:
                 padding=True,
                 return_tensors="pt",
             )
-            # label 0 = "is next" in BertForNextSentencePrediction
-            probs = torch.softmax(model(**enc).logits, dim=1)[:, 0]
-            out.extend(float(p) for p in probs)
+            # label 0 = "is next" in BertForNextSentencePrediction; the
+            # reference ranks by this logit directly, no softmax
+            logits = model(**enc).logits[:, 0]
+            out.extend(float(v) for v in logits)
         return out

@@ -202,15 +202,21 @@ def incremental_triples(
     0 and silently overwrite a previous run's partitions (and a flat
     append-era layout mixed with ``epoch=*`` dirs breaks partition
     discovery). Starting against existing output without its matching
-    checkpoint therefore raises instead of clobbering."""
-    import os
-
+    checkpoint therefore raises instead of clobbering. The probe resolves
+    paths through the Hadoop FileSystem API, so the guard protects
+    hdfs:// / s3a:// output directories, not just local ones."""
     from .ops.link import link_mentions
     from .ops.triples import make_triples
 
     def _nonempty(d: str) -> bool:
-        return os.path.isdir(d) and any(
-            not name.startswith((".", "_")) for name in os.listdir(d)
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(d)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return False
+        return any(
+            not st.getPath().getName().startswith((".", "_"))
+            for st in fs.listStatus(path)
         )
 
     if _nonempty(out_dir) and not _nonempty(checkpoint_dir):

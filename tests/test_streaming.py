@@ -225,3 +225,68 @@ def test_incremental_triples_with_streaming_dedup(spark, tmp_path):
     assert len(per_url) == 9  # 9 distinct urls
     for url, epochs in per_url.items():
         assert len(epochs) == 1, f"{url} emitted in multiple epochs {epochs}"
+
+
+def test_first_seen_pages_eviction_contract(spark, tmp_path):
+    """Executable witness of the documented eviction contract
+    (streaming.first_seen_pages): a (host, shard) key idle past
+    watermark + idle_timeout is EVICTED — its state row disappears from
+    the store — and a url re-crawled after eviction is RE-EMITTED as
+    first-seen (at-least-once under eviction, exactly-once while live).
+    """
+    import time
+    from datetime import datetime
+
+    src = str(tmp_path / "evict_pages")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+        time.sleep(1.1)  # distinct mtimes → deterministic file-batch order
+
+    # b1: url A on host old.test. (Its timeout is set against watermark 0
+    # — the first batch has no watermark yet.)
+    write_batch([("https://old.test/a", datetime(2024, 1, 1), None, "t", "en")],
+                "overwrite")
+    # b2: DUPLICATE of A — refreshes old.test's timeout against the real
+    # watermark (2023-12-31 + idle_timeout), dropped as a dup
+    write_batch([("https://old.test/a", datetime(2024, 1, 1, 1), None, "t", "en")],
+                "append")
+    # b3: host new.test, event time 5 months later — advances the
+    # watermark far past old.test's timeout timestamp at batch end
+    write_batch([("https://new.test/b", datetime(2024, 6, 1, 0), None, "t", "en")],
+                "append")
+    # b4: DUPLICATE of b (no new state key) — this batch runs timeout
+    # handling under the advanced watermark: old.test is evicted, so the
+    # state-store total visibly DECREASES (2 -> 1)
+    write_batch([("https://new.test/b", datetime(2024, 6, 1, 1), None, "t", "en")],
+                "append")
+    # b5: re-crawl A after eviction — must be re-emitted as first-seen
+    write_batch([("https://old.test/a", datetime(2024, 6, 1, 2), None, "t", "en")],
+                "append")
+
+    stream = streaming.stream_pages(spark, src, max_files=1)
+    q = (
+        streaming.first_seen_pages(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("evict_check")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        urls = [r["url"] for r in
+                spark.sql("SELECT url FROM evict_check").collect()]
+        totals = [op["numRowsTotal"] for p in q.recentProgress
+                  for op in p["stateOperators"]]
+    finally:
+        q.stop()
+    # (a) the evicted key's state row was removed: the store shrank in
+    # some batch (2 live keys -> 1 at the eviction batch); without
+    # eviction the total is monotone non-decreasing
+    assert any(b < a for a, b in zip(totals, totals[1:])), (
+        f"no state-row removal observed in {totals}"
+    )
+    # (b) re-crawl after eviction re-emits; the live-window dup did not
+    assert urls.count("https://old.test/a") == 2, urls
+    assert urls.count("https://new.test/b") == 1, urls

@@ -4,7 +4,9 @@ The target deployment (BASELINE.json north_star) stores the corpus and
 every stage table in Iceberg: snapshot commits give resumability, WAP
 (write-audit-publish) gives atomic stage publication, and partition
 transforms (``days(warc_ts)``, bucketed url-hash) give pruning. This
-container ships no Iceberg runtime jar, so the layer probes for the
+container ships no Iceberg runtime jar (vendoring re-attempted
+2026-08-17: pip has no iceberg-spark-runtime distribution and Maven
+Central does not resolve — no network), so the layer probes for the
 catalog and falls back to the atomic-parquet committer
 (pipeline.StageCommitter) which reproduces the same semantics:
 

@@ -101,9 +101,11 @@ class CrfScorer:
         self._t, self._s, self._e = bioes_transitions()
 
     def _emissions(self, toks: list[str]) -> np.ndarray:
+        from .detect import _is_entity_token
+
         em = np.zeros((len(toks), 5))
         for i, tok in enumerate(toks):
-            if tok and tok[0].isupper():
+            if _is_entity_token(tok):
                 em[i, [_B, _I, _E, _S]] = self.margin
             else:
                 em[i, _O] = self.margin

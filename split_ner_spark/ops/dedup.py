@@ -78,7 +78,16 @@ def shingle_arrays(documents: DataFrame, k: int = 3) -> DataFrame:
     consumer). The array is materialized through a Generate barrier
     (``explode(array(...))``) because higher-order functions are not
     codegen'd and projection collapse would otherwise re-evaluate the md5
-    array once per consumer expression."""
+    array once per consumer expression.
+
+    Token-less documents (empty or whitespace-only text) contribute ZERO
+    shingles and thus never enter the near-dup universe: the alternative
+    — one md5('') shingle each — would make every empty doc pair with
+    every other empty doc (jaccard 1.0), a quadratic blowup on one hot
+    shingle at crawl scale where empty pages number in the millions.
+    Exact-duplicate handling of empty docs belongs to exact_dedup.
+    (Found by scripts/fuzz_oracle.py — the fixed test corpus has no
+    empty docs.)"""
     toks = ws_tokens()
     n = F.size(toks)
     sh = F.array_distinct(
@@ -87,7 +96,10 @@ def shingle_arrays(documents: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         )
     )
-    return documents.select("doc_id", F.explode(F.array(sh)).alias("sh"))
+    return (
+        documents.filter(F.size(ws_tokens()) > 0)
+        .select("doc_id", F.explode(F.array(sh)).alias("sh"))
+    )
 
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:
@@ -107,7 +119,11 @@ def _shingles_sql(doc_table: str, k: int) -> str:
         f"list_distinct(list_transform(range(1, greatest({n} - {k - 1}, 1) + 1), "
         f"i -> md5(array_to_string({toks}[i:i+{k - 1}], ' '))))"
     )
-    return f"SELECT doc_id, unnest({hashes}) AS shingle_hash FROM {doc_table}"
+    # token-less docs contribute ZERO shingles (mirrors shingle_arrays)
+    return (
+        f"SELECT doc_id, unnest({hashes}) AS shingle_hash FROM {doc_table} "
+        f"WHERE {n} > 0"
+    )
 
 
 # affine-mix constants: one md5 per shingle reduced to 32 bits, then
@@ -169,9 +185,11 @@ def _minhash_sig_sql(doc_table: str, k: int, n_hashes: int) -> str:
         f"list_transform(range(0, {n_hashes}), "
         f"i -> list_min(list_transform(bases, b -> (b * {a} + {b}) % {MINHASH_P})))"
     )
+    # token-less docs get NO signature (mirrors shingle_arrays: they are
+    # outside the shingle universe, so they can never band-collide)
     return (
         f"SELECT doc_id, {sig} AS signature FROM "
-        f"(SELECT doc_id, {bases} AS bases FROM {doc_table})"
+        f"(SELECT doc_id, {bases} AS bases FROM {doc_table} WHERE {n} > 0)"
     )
 
 

@@ -39,7 +39,13 @@ DETECTED_SCHEMA = T.StructType(
 
 
 def _is_entity_token(tok: str) -> bool:
-    return bool(tok) and tok[0].isupper()
+    # ASCII A-Z on purpose, NOT str.isupper(): the reference's F/U
+    # word-shape classes are ASCII regexes ([A-Z][a-z]+ / [A-Z]+,
+    # dataset.py:316-335), so a token like "Ωmega" is NOT
+    # capitalized-initial under the contract this surrogate mirrors —
+    # and the DuckDB oracle twin's '^[A-Z]' agrees byte-for-byte.
+    # (Divergence found by scripts/fuzz_oracle.py on unicode tokens.)
+    return bool(tok) and "A" <= tok[0] <= "Z"
 
 
 class DeterministicScorer:

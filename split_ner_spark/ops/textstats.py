@@ -62,7 +62,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         n_tok.cast("long").alias("n_tokens_ws"),
         n_bpe.cast("long").alias("n_tokens_bpe"),
-        (n_bpe.cast("double") / n_tok.cast("double")).alias("pieces_per_token"),
+        # NULL fertility for token-less docs (ANSI x/0 would throw)
+        F.when(n_tok > 0, n_bpe.cast("double") / n_tok.cast("double"))
+        .alias("pieces_per_token"),
     )
 
 
@@ -72,9 +74,10 @@ def token_stats_sql(doc_table: str = "documents") -> str:
            length(text) AS n_chars,
            len(regexp_extract_all(text, '{TOKEN_WS_RE}')) AS n_tokens_ws,
            len(regexp_extract_all(text, '{TOKEN_BPE_RE}')) AS n_tokens_bpe,
-           CAST(len(regexp_extract_all(text, '{TOKEN_BPE_RE}')) AS DOUBLE)
-                 / CAST(len(regexp_extract_all(text, '{TOKEN_WS_RE}')) AS DOUBLE)
-             AS pieces_per_token
+           CASE WHEN len(regexp_extract_all(text, '{TOKEN_WS_RE}')) > 0
+                THEN CAST(len(regexp_extract_all(text, '{TOKEN_BPE_RE}')) AS DOUBLE)
+                      / CAST(len(regexp_extract_all(text, '{TOKEN_WS_RE}')) AS DOUBLE)
+           END AS pieces_per_token
     FROM {doc_table}
     """
 
@@ -99,8 +102,11 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     # inputs are bitwise-equal across Spark and DuckDB, whereas round(x, 6)
     # diverges on decimal ties (Spark rounds the shortest decimal repr,
     # DuckDB the raw binary).
-    stop_ratio = stop_hits / n_tok
-    punct_ratio = n_punct / n_chars
+    # explicit zero for token-less / empty docs: under ANSI mode a bare
+    # x/0 THROWS and kills the whole job — and a 100 TB crawl always
+    # contains empty pages (found by scripts/fuzz_oracle.py)
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     quality = (
         F.least(F.lit(1.0), n_tok / F.lit(64.0)) * 0.5
         + (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.2
@@ -124,8 +130,12 @@ def quality_scores_sql(doc_table: str = "documents") -> str:
     n_punct = (
         f"({n_chars} - CAST(length(regexp_replace(text, '{punct_sql}', '', 'g')) AS DOUBLE))"
     )
-    stop_ratio = f"({stop_hits} / {n_tok})"
-    punct_ratio = f"({n_punct} / {n_chars})"
+    stop_ratio = (
+        f"(CASE WHEN {n_tok} > 0 THEN {stop_hits} / {n_tok} ELSE 0.0 END)"
+    )
+    punct_ratio = (
+        f"(CASE WHEN {n_chars} > 0 THEN {n_punct} / {n_chars} ELSE 0.0 END)"
+    )
     return f"""
     SELECT doc_id,
            {stop_ratio} AS stopword_ratio,
@@ -208,10 +218,13 @@ def doc_fingerprints(documents: DataFrame, k: int = 4, bottom: int = 4) -> DataF
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
     )
     sketch = F.slice(F.array_sort(F.array_distinct(shingle_hashes)), 1, bottom)
+    # token-less docs have NO fingerprint (NULL) — same contract as
+    # dedup.shingle_arrays: they sit outside the shingle universe rather
+    # than all sharing one md5('') sketch (fuzz_oracle finding)
     return documents.select(
         "doc_id",
-        F.md5(F.concat_ws("|", sketch)).alias("fingerprint"),
-        F.element_at(sketch, 1).alias("min_shingle_hash"),
+        F.when(n > 0, F.md5(F.concat_ws("|", sketch))).alias("fingerprint"),
+        F.when(n > 0, F.element_at(sketch, 1)).alias("min_shingle_hash"),
     )
 
 
@@ -223,6 +236,8 @@ def doc_fingerprints_sql(doc_table: str = "documents", k: int = 4, bottom: int =
         f"i -> md5(array_to_string({toks}[i:i+{k - 1}], ' ')))"
     )
     sketch = f"list_sort(list_distinct({hashes}))[1:{bottom}]"
+    # token-less docs: the empty-slice -> NULL propagation chain yields
+    # NULL fingerprint/min hash, matching doc_fingerprints' explicit NULL
     return f"""
     SELECT doc_id,
            md5(array_to_string({sketch}, '|')) AS fingerprint,

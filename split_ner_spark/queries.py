@@ -189,19 +189,33 @@ def _pipeline_triples_sql() -> str:
         CORP_SUFFIX, GROUP_SUFFIX, LOC_GAZ, LOC_SUFFIX, PERSON_LAST, UNKNOWN,
     )
 
+    from .reference_impl import TOKEN_RE_JAVA
+
     split = "string_split(text, ' ')"
     corp_re = "(" + "|".join(CORP_SUFFIX) + ")$"
     in_list = lambda xs: ", ".join(f"'{x}'" for x in xs)  # noqa: E731
     alias_vals = ", ".join(
         f"('{a}', '{c}', '{t}')" for a, c, t in LINK_ALIAS_ROWS
     )
+    # the pipeline re-tokenizes the rewritten text with the reference's
+    # punctuation-splitting tokenizer (generate_bio.py:86 — punct chars
+    # become standalone tokens, so "3.14" -> "3",".","14" and each "."
+    # breaks a sentence); the twin must tokenize identically or punct-
+    # bearing corpora diverge (found by scripts/fuzz_oracle.py)
+    tok_re = TOKEN_RE_JAVA.replace("'", "''")
+    rw_toks = f"regexp_extract_all(rw_text, '{tok_re}')"
     return f"""
-    WITH rw AS (
-      SELECT doc_id, u.pos, {_pipe_rewrite_sql("u.tok")} AS tok
-      FROM documents,
-           unnest(list_transform(range(1, len({split}) + 1),
-                  i -> {{'pos': i, 'tok': {split}[i]}})) AS t(u)
-      WHERE lang = 'en'
+    WITH rwt AS (
+      SELECT doc_id,
+             array_to_string(list_transform({split},
+                    tok -> {_pipe_rewrite_sql("tok")}), ' ') AS rw_text
+      FROM documents WHERE lang = 'en'
+    ),
+    rw AS (
+      SELECT doc_id, u.pos, u.tok
+      FROM rwt,
+           unnest(list_transform(range(1, len({rw_toks}) + 1),
+                  i -> {{'pos': i, 'tok': {rw_toks}[i]}})) AS t(u)
     ),
     flagged AS (
       SELECT doc_id, pos, tok,
@@ -1035,11 +1049,15 @@ def q_kg_qa_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kg_scheme_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kg_scheme_rewrite(
+    spark: SparkSession, sf_dir: str, scheme: str = "bioes"
+) -> DataFrame:
     """Q5 tagging-scheme conversion (dataset.py:394-470): gazetteer BIO
-    tags per token → BIOES via ops/schemes.to_scheme_col, emitted as one
-    space-joined tag string per doc; the DuckDB twin derives the same
-    conversion with lag/lead window logic."""
+    tags per token → the target scheme via ops/schemes.to_scheme_col,
+    emitted as one space-joined tag string per doc; the DuckDB twin
+    (:func:`kg_scheme_rewrite_sql`) derives the same conversion with
+    lag/lead window logic. ``scheme`` ∈ SCHEMES — fuzzed by
+    scripts/fuzz_oracle.py; the registry default stays bioes."""
     from .ops.schemes import to_scheme_col
 
     docs = load(spark, sf_dir, "documents")
@@ -1059,7 +1077,7 @@ def q_kg_scheme_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = df.withColumn("tags", F.transform("tokens", tag))
     return tagged.select(
         "doc_id",
-        F.concat_ws(" ", to_scheme_col("tags", "bioes")).alias("bioes_tags"),
+        F.concat_ws(" ", to_scheme_col("tags", scheme)).alias(f"{scheme}_tags"),
     )
 
 
@@ -1182,6 +1200,123 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = multimodal.synth_assets(spark, 200)
     return multimodal.payload_digests(assets)
+
+
+
+def kg_mention_contexts_sql(
+    left_extents=X6_LEFT_EXTENTS,
+    right_extents=X6_RIGHT_EXTENTS,
+    threshold: int = X6_THRESHOLD,
+) -> str:
+    """Parameterized DuckDB twin of :func:`q_kg_mention_contexts` — the
+    X6 full-grid pattern miner (BIO tag per token, drop I-, B->type,
+    O->text; every entity token x the clamped window grid, count >=
+    threshold). scripts/fuzz_oracle.py draws random grids through this."""
+    toks = f"regexp_extract_all(text, '{TOKEN_WS_RE}')"
+    return f"""
+            WITH tok AS (
+              SELECT doc_id, u.pos, u.tok, {_typ_case_sql('u.tok', GAZ_PRED)} AS typ
+              FROM documents,
+                   unnest(list_transform(range(1, len({toks}) + 1),
+                          i -> {{'pos': i, 'tok': {toks}[i]}})) AS t(u)
+            ),
+            lagged AS (
+              SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_typ
+              FROM tok
+            ),
+            tagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN typ IS NULL THEN 'O'
+                          WHEN prev_typ IS NULL THEN 'B' ELSE 'I' END AS k,
+                     tok, typ
+              FROM lagged
+            ),
+            kept AS (
+              SELECT doc_id, pos,
+                     CASE WHEN k = 'O' THEN tok ELSE typ END AS tok,
+                     (k <> 'O') AS ent
+              FROM tagged WHERE k <> 'I'
+            ),
+            idx AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS i,
+                     tok, ent
+              FROM kept
+            ),
+            arr AS (SELECT doc_id, list(tok ORDER BY i) AS toks FROM idx GROUP BY doc_id),
+            ents AS (SELECT doc_id, i FROM idx WHERE ent),
+            grid AS (
+              SELECT l.l, r.r
+              FROM (VALUES {", ".join(f"({l})" for l in left_extents)}) l(l)
+              CROSS JOIN (VALUES {", ".join(f"({r})" for r in right_extents)}) r(r)
+            ),
+            pats AS (
+              SELECT array_to_string(
+                       toks[greatest(i - l, 0) + 1 : least(i + r, len(toks) - 1) + 1],
+                       ' ') AS pattern
+              FROM ents JOIN arr USING (doc_id) CROSS JOIN grid
+            )
+            SELECT pattern, CAST(count(*) AS BIGINT) AS n
+            FROM pats GROUP BY pattern HAVING count(*) >= {threshold}
+    """
+
+
+def kg_scheme_rewrite_sql(scheme: str = "bioes") -> str:
+    """Parameterized DuckDB twin of :func:`q_kg_scheme_rewrite` for every
+    scheme in ops/schemes.SCHEMES (reference dataset.py:394-470)."""
+    from .ops.schemes import SCHEMES
+
+    if scheme not in SCHEMES:
+        raise ValueError(f"scheme must be one of {SCHEMES}, got {scheme!r}")
+    toks = f"regexp_extract_all(text, '{TOKEN_WS_RE}')"
+    if scheme == "bio":
+        conv = "tag"
+    elif scheme == "bo":
+        conv = "CASE WHEN tag = 'O' THEN 'O' ELSE 'B-' || substr(tag, 3) END"
+    elif scheme == "bioe":
+        conv = (
+            "CASE WHEN tag LIKE 'I-%' AND (next_tag IS NULL OR next_tag NOT LIKE 'I-%')"
+            " THEN 'E-' || substr(tag, 3) ELSE tag END"
+        )
+    else:  # bioes
+        conv = (
+            "CASE WHEN tag LIKE 'I-%' AND (next_tag IS NULL OR next_tag NOT LIKE 'I-%')"
+            " THEN 'E-' || substr(tag, 3)"
+            " WHEN tag LIKE 'B-%' AND (next_tag IS NULL OR next_tag NOT LIKE 'I-%')"
+            " THEN 'S-' || substr(tag, 3) ELSE tag END"
+        )
+    return f"""
+            WITH tok AS (
+              SELECT doc_id, u.pos, u.tok, {_typ_case_sql('u.tok', GAZ_PRED)} AS typ
+              FROM documents,
+                   unnest(list_transform(range(1, len({toks}) + 1),
+                          i -> {{'pos': i, 'tok': {toks}[i]}})) AS t(u)
+            ),
+            lagged AS (
+              SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_typ
+              FROM tok
+            ),
+            bio AS (
+              SELECT doc_id, pos,
+                     CASE WHEN typ IS NULL THEN 'O'
+                          WHEN prev_typ IS NULL THEN 'B-' || typ
+                          ELSE 'I-' || typ END AS tag
+              FROM lagged
+            ),
+            led AS (
+              SELECT *, lead(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tag
+              FROM bio
+            ),
+            conv AS (SELECT doc_id, pos, {conv} AS tag FROM led),
+            agg AS (
+              SELECT doc_id, string_agg(tag, ' ' ORDER BY pos) AS tags
+              FROM conv GROUP BY doc_id
+            )
+            -- token-less docs keep a row with an empty tag string (the
+            -- Spark side emits one row per document unconditionally)
+            SELECT d.doc_id, coalesce(agg.tags, '') AS {scheme}_tags
+            FROM documents d LEFT JOIN agg USING (doc_id)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1494,52 +1629,7 @@ def _oracles() -> dict[str, str]:
         """,
         # X6 full grid twin: BIO tag per token, drop I-, B→type, O→text;
         # every entity token × the 5×5 clamped window grid, count ≥ 40.
-        "kg_mention_contexts": f"""
-            WITH tok AS (
-              SELECT doc_id, u.pos, u.tok, {_typ_case_sql('u.tok', GAZ_PRED)} AS typ
-              FROM documents,
-                   unnest(list_transform(range(1, len({toks}) + 1),
-                          i -> {{'pos': i, 'tok': {toks}[i]}})) AS t(u)
-            ),
-            lagged AS (
-              SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_typ
-              FROM tok
-            ),
-            tagged AS (
-              SELECT doc_id, pos,
-                     CASE WHEN typ IS NULL THEN 'O'
-                          WHEN prev_typ IS NULL THEN 'B' ELSE 'I' END AS k,
-                     tok, typ
-              FROM lagged
-            ),
-            kept AS (
-              SELECT doc_id, pos,
-                     CASE WHEN k = 'O' THEN tok ELSE typ END AS tok,
-                     (k <> 'O') AS ent
-              FROM tagged WHERE k <> 'I'
-            ),
-            idx AS (
-              SELECT doc_id,
-                     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS i,
-                     tok, ent
-              FROM kept
-            ),
-            arr AS (SELECT doc_id, list(tok ORDER BY i) AS toks FROM idx GROUP BY doc_id),
-            ents AS (SELECT doc_id, i FROM idx WHERE ent),
-            grid AS (
-              SELECT l.l, r.r
-              FROM (VALUES {", ".join(f"({l})" for l in X6_LEFT_EXTENTS)}) l(l)
-              CROSS JOIN (VALUES {", ".join(f"({r})" for r in X6_RIGHT_EXTENTS)}) r(r)
-            ),
-            pats AS (
-              SELECT array_to_string(
-                       toks[greatest(i - l, 0) + 1 : least(i + r, len(toks) - 1) + 1],
-                       ' ') AS pattern
-              FROM ents JOIN arr USING (doc_id) CROSS JOIN grid
-            )
-            SELECT pattern, CAST(count(*) AS BIGINT) AS n
-            FROM pats GROUP BY pattern HAVING count(*) >= {X6_THRESHOLD}
-        """,
+        "kg_mention_contexts": kg_mention_contexts_sql(),
         "parts_by_brand": f"""
             SELECT p_brand, count(*) AS n_lines,
                    {_isum_sql('l_quantity')} AS sum_qty,
@@ -1651,40 +1741,7 @@ def _oracles() -> dict[str, str]:
             )
             SELECT * FROM det UNION ALL SELECT * FROM sq
         """,
-        "kg_scheme_rewrite": f"""
-            WITH tok AS (
-              SELECT doc_id, u.pos, u.tok, {_typ_case_sql('u.tok', GAZ_PRED)} AS typ
-              FROM documents,
-                   unnest(list_transform(range(1, len({toks}) + 1),
-                          i -> {{'pos': i, 'tok': {toks}[i]}})) AS t(u)
-            ),
-            lagged AS (
-              SELECT *, lag(typ) OVER (PARTITION BY doc_id ORDER BY pos) AS prev_typ
-              FROM tok
-            ),
-            bio AS (
-              SELECT doc_id, pos,
-                     CASE WHEN typ IS NULL THEN 'O'
-                          WHEN prev_typ IS NULL THEN 'B-' || typ
-                          ELSE 'I-' || typ END AS tag
-              FROM lagged
-            ),
-            led AS (
-              SELECT *, lead(tag) OVER (PARTITION BY doc_id ORDER BY pos) AS next_tag
-              FROM bio
-            ),
-            conv AS (
-              SELECT doc_id, pos,
-                     CASE WHEN tag LIKE 'I-%' AND (next_tag IS NULL OR next_tag NOT LIKE 'I-%')
-                            THEN 'E-' || substr(tag, 3)
-                          WHEN tag LIKE 'B-%' AND (next_tag IS NULL OR next_tag NOT LIKE 'I-%')
-                            THEN 'S-' || substr(tag, 3)
-                          ELSE tag END AS tag
-              FROM led
-            )
-            SELECT doc_id, string_agg(tag, ' ' ORDER BY pos) AS bioes_tags
-            FROM conv GROUP BY doc_id
-        """,
+        "kg_scheme_rewrite": kg_scheme_rewrite_sql(),
         "sample_stratified": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
+def cooccurrence_pairs(linked: DataFrame, max_entities: int = 1024) -> DataFrame:
     """Distinct canonical-id pairs co-mentioned in one sentence (a < b).
 
     ONE ``collect_set`` groupBy per sentence, pairs expanded inside the
@@ -31,10 +31,26 @@ def cooccurrence_pairs(linked: DataFrame) -> DataFrame:
     the per-row pair expansion is bounded by sentence entity counts
     (≤ tens), so the plan is strictly better at any scale. Semantics
     identical: sets are deduplicated per sentence, pairs ordered a < b
-    via the sorted array (earlier index < later index)."""
+    via the sorted array (earlier index < later index).
+
+    ``max_entities`` bounds the degenerate case AQE cannot: skew-split
+    applies to joins, not to a single aggregate KEY, so one pathological
+    "sentence" (a period-less link farm / table dump page) with k
+    distinct entities builds a k²/2-element array in ONE task — measured
+    on this VM: k=5000 turns a 2.7s pass into 101.8s (PLANS.md round 4).
+    Sentences beyond the cap contribute pairs only among their
+    lexicographically-first ``max_entities`` canonical ids
+    (deterministic; ≈ 524k pairs — the k≤1024 shape measures in normal
+    task time). Real sentences have tens of entities; the cap exists
+    only to keep a degenerate page from stalling a 100 TB job. The SQL
+    oracle twins mirror the same cap."""
     sets = (
         linked.groupBy("url", "sent_id")
-        .agg(F.array_sort(F.collect_set("canonical_id")).alias("_cs"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("canonical_id")), 1, max_entities
+            ).alias("_cs")
+        )
         .filter(F.size("_cs") >= 2)
     )
     pairs = F.flatten(

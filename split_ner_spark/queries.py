@@ -262,7 +262,16 @@ def _pipeline_triples_sql() -> str:
              coalesce(a.dict_type, r.rule_type) AS entity_type
       FROM ruled r LEFT JOIN alias a ON a.alias_norm = lower(r.surface)
     ),
-    dl AS (SELECT DISTINCT url, sent_id, canonical_id FROM linked),
+    -- mirror cooccurrence_pairs' degenerate-sentence cap: pairs only
+    -- among the first 1024 canonical ids per sentence
+    dl AS (
+      SELECT url, sent_id, canonical_id FROM (
+        SELECT url, sent_id, canonical_id,
+               row_number() OVER (PARTITION BY url, sent_id
+                                  ORDER BY canonical_id) AS rk
+        FROM (SELECT DISTINCT url, sent_id, canonical_id FROM linked)
+      ) WHERE rk <= 1024
+    ),
     tri AS (
       SELECT canonical_id AS subj, 'typed_as' AS pred, entity_type AS obj
       FROM linked WHERE entity_type IS NOT NULL
@@ -1705,7 +1714,15 @@ def _oracles() -> dict[str, str]:
                      coalesce(a.dict_type, m.entity_type) AS entity_type
               FROM m LEFT JOIN alias a ON a.alias_norm = m.surface_norm
             ),
-            dl AS (SELECT DISTINCT url, canonical_id FROM linked),
+            -- mirror cooccurrence_pairs' degenerate-sentence cap
+            dl AS (
+              SELECT url, canonical_id FROM (
+                SELECT url, canonical_id,
+                       row_number() OVER (PARTITION BY url
+                                          ORDER BY canonical_id) AS rk
+                FROM (SELECT DISTINCT url, canonical_id FROM linked)
+              ) WHERE rk <= 1024
+            ),
             tri AS (
               SELECT canonical_id AS subj, 'typed_as' AS pred, entity_type AS obj
               FROM linked WHERE entity_type IS NOT NULL

@@ -68,11 +68,40 @@ FIXED_DOC_QUERIES = [
 ]
 
 FAMILIES = ["mention_contexts", "scheme_rewrite", "ngram_jaccard",
-            "minhash_lsh", "lsh_jaccard", "simhash_pairs", "fixed"]
+            "minhash_lsh", "lsh_jaccard", "simhash_pairs", "fixed",
+            "ann_cosine", "emb_near_dup"]
 
 
 # ---------------------------------------------------------------------------
 # corpus generation
+
+def gen_embedding_rows(rng: random.Random, dim: int = 64) -> list[tuple]:
+    """Random embeddings with the edge cases real encoder output has:
+    ZERO vectors (failed encodes / padding), exact duplicates, scaled
+    copies (same direction, cosine 1.0 ties), and tiny-magnitude noise."""
+    n = rng.randint(40, 90)
+    rows: list[tuple] = []
+    prev: list[float] | None = None
+    for vec_id in range(n):
+        r = rng.random()
+        if r < 0.06:
+            emb = [0.0] * dim                      # zero vector
+        elif r < 0.18 and prev is not None:
+            emb = list(prev)                       # exact duplicate
+        elif r < 0.26 and prev is not None:
+            emb = [x * 2.0 for x in prev]          # scaled copy (cos=1)
+        elif r < 0.32:
+            emb = [rng.uniform(-1e-6, 1e-6) for _ in range(dim)]
+        else:
+            emb = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        # float32 round-trip so both engines read identical values
+        import struct
+
+        emb = [struct.unpack("f", struct.pack("f", x))[0] for x in emb]
+        prev = emb
+        rows.append((vec_id, emb, rng.randint(0, 4)))
+    return rows
+
 
 def gen_corpus_rows(rng: random.Random) -> list[tuple]:
     n_docs = rng.randint(30, 100)
@@ -99,10 +128,18 @@ def gen_corpus_rows(rng: random.Random) -> list[tuple]:
     return rows
 
 
-def make_fuzz_dir(tmpdir: str, rows: list[tuple]) -> str:
-    """Write the fuzz documents.parquet; symlink every other base table."""
+def make_fuzz_dir(
+    tmpdir: str,
+    rows: list[tuple],
+    emb_rows: list[tuple] | None = None,
+) -> str:
+    """Write fuzz documents (and optionally embeddings) parquet; symlink
+    every other base table."""
+    fuzzed = {"documents.parquet"} | (
+        {"embeddings.parquet"} if emb_rows is not None else set()
+    )
     for name in os.listdir(BASE_SF_DIR):
-        if name != "documents.parquet" and not name.startswith("."):
+        if name not in fuzzed and not name.startswith("."):
             dst = os.path.join(tmpdir, name)
             if not os.path.exists(dst):
                 os.symlink(os.path.join(BASE_SF_DIR, name), dst)
@@ -114,6 +151,14 @@ def make_fuzz_dir(tmpdir: str, rows: list[tuple]) -> str:
         "n_chars": pa.array([r[4] for r in rows], pa.int64()),
     })
     pq.write_table(table, os.path.join(tmpdir, "documents.parquet"))
+    if emb_rows is not None:
+        et = pa.table({
+            "vec_id": pa.array([r[0] for r in emb_rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in emb_rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in emb_rows], pa.int32()),
+        })
+        pq.write_table(et, os.path.join(tmpdir, "embeddings.parquet"))
     return tmpdir
 
 
@@ -142,6 +187,11 @@ def draw_setting(rng: random.Random) -> dict:
         s["n_hashes"], s["bands"] = rng.choice([(8, 4), (16, 8), (12, 4)])
     elif fam == "simhash_pairs":
         s["max_hamming"] = rng.choice([1, 3, 7])
+    elif fam == "ann_cosine":
+        s["n_queries"] = rng.randint(3, 12)
+        s["k"] = rng.randint(1, 8)
+    elif fam == "emb_near_dup":
+        s["threshold"] = rng.choice([0.8, 0.9, 0.95])
     else:
         s["name"] = rng.choice(FIXED_DOC_QUERIES)
     return s
@@ -195,6 +245,25 @@ def build_pair(spark, sf_dir: str, s: dict, cleanup: list):
             dedup.simhash_pairs_sql("documents",
                                     max_hamming=s["max_hamming"]),
         )
+    if fam == "ann_cosine":
+        from split_ner_spark.ops import simsearch
+
+        embs = Q.load(spark, sf_dir, "embeddings")
+        return (
+            f"ann_cosine q={s['n_queries']} k={s['k']}",
+            simsearch.cosine_topk(embs, s["n_queries"], s["k"]),
+            simsearch.cosine_topk_sql("embeddings", s["n_queries"], s["k"]),
+        )
+    if fam == "emb_near_dup":
+        from split_ner_spark.ops import simsearch
+
+        embs = Q.load(spark, sf_dir, "embeddings")
+        return (
+            f"emb_near_dup t={s['threshold']}",
+            simsearch.embedding_near_dup_pairs(embs, s["threshold"]),
+            simsearch.embedding_near_dup_pairs_sql("embeddings",
+                                                   s["threshold"]),
+        )
     name = s["name"]
     return (f"fixed:{name}", Q.QUERIES[name](spark, sf_dir), Q.ORACLES[name])
 
@@ -221,7 +290,12 @@ def _fingerprint(cols, rows):
 def run_setting(spark, tmpdir: str, s: dict) -> tuple[str, str | None]:
     """Run one setting; returns (label, error-or-None)."""
     rng = random.Random(s["data_seed"])
-    sf_dir = make_fuzz_dir(tmpdir, gen_corpus_rows(rng))
+    emb_rows = (
+        gen_embedding_rows(rng)
+        if s["family"] in ("ann_cosine", "emb_near_dup")
+        else None
+    )
+    sf_dir = make_fuzz_dir(tmpdir, gen_corpus_rows(rng), emb_rows)
     cleanup: list = []
     label, sdf, sql = build_pair(spark, sf_dir, s, cleanup)
     try:

@@ -74,7 +74,12 @@ def _norm(a: str | Column) -> Column:
 
 
 def cosine(a: str | Column, b: str | Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # zero-norm guard: a zero vector (failed encode, padding row) has no
+    # direction — define its similarity as 0.0 instead of letting ANSI
+    # mode throw on 0/0 and kill the whole scan (fuzz_oracle class; the
+    # SQL twin mirrors the same CASE, keeping rank order engine-equal)
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 _DOT_SQL = (
@@ -88,7 +93,10 @@ def _cosine_sql(a: str, b: str) -> str:
     dot = _DOT_SQL.format(a=a, b=b)
     na = _NORM_SQL.format(a=a)
     nb = _NORM_SQL.format(a=b)
-    return f"({dot} / ({na} * {nb}))"
+    return (
+        f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) "
+        f"ELSE 0.0 END)"
+    )
 
 
 def cosine_topk(

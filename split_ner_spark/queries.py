@@ -487,7 +487,11 @@ def q_kg_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
         F.sum("n_mentions").alias("n_mentions"),
-        (F.sum("n_mentions") * 1.0 / F.sum("n_tok")).alias("mention_density"),
+        # NULL density for a lang whose docs are all token-less (ANSI x/0
+        # would kill the job; the SQL twin mirrors the CASE)
+        F.when(
+            F.sum("n_tok") > 0, F.sum("n_mentions") * 1.0 / F.sum("n_tok")
+        ).alias("mention_density"),
     )
 
 
@@ -798,7 +802,9 @@ def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (ss - s * s / n) / (n - F.lit(1.0))
     return agg.select(
         "event_type", "n", (s / n).alias("mean_value"),
-        F.sqrt(var).alias("stddev_value"),
+        # sample stddev is undefined for a singleton group: NULL instead
+        # of an ANSI divide-by-zero kill (SQL twin mirrors the CASE)
+        F.when(F.col("n") > 1, F.sqrt(var)).alias("stddev_value"),
     )
 
 
@@ -1436,7 +1442,9 @@ def _oracles() -> dict[str, str]:
             sp AS (SELECT doc_id, count(*) AS n_mentions FROM ({pred_spans}) GROUP BY 1)
             SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                    CAST(sum(coalesce(n_mentions, 0)) AS BIGINT) AS n_mentions,
-                   sum(coalesce(n_mentions, 0)) * 1.0 / sum(n_tok) AS mention_density
+                   CASE WHEN sum(n_tok) > 0
+                        THEN sum(coalesce(n_mentions, 0)) * 1.0 / sum(n_tok)
+                   END AS mention_density
             FROM tok LEFT JOIN sp USING (doc_id)
             GROUP BY lang
         """,
@@ -1619,9 +1627,11 @@ def _oracles() -> dict[str, str]:
         "events_value_stats": """
             SELECT event_type, n,
                    (CAST(_s AS DOUBLE) / 10000) / CAST(n AS DOUBLE) AS mean_value,
-                   sqrt((CAST(_ss AS DOUBLE) / (10000.0 * 10000.0)
-                         - (CAST(_s AS DOUBLE) / 10000) * (CAST(_s AS DOUBLE) / 10000) / CAST(n AS DOUBLE))
-                        / (CAST(n AS DOUBLE) - 1.0)) AS stddev_value
+                   CASE WHEN n > 1 THEN
+                     sqrt((CAST(_ss AS DOUBLE) / (10000.0 * 10000.0)
+                           - (CAST(_s AS DOUBLE) / 10000) * (CAST(_s AS DOUBLE) / 10000) / CAST(n AS DOUBLE))
+                          / (CAST(n AS DOUBLE) - 1.0))
+                   END AS stddev_value
             FROM (
               SELECT event_type, count(*) AS n,
                      sum(CAST(round(value * 10000) AS BIGINT)) AS _s,

@@ -65,6 +65,7 @@ FIXED_DOC_QUERIES = [
     "text_token_stats", "text_quality", "text_lang_id", "text_fingerprint",
     "dedup_exact", "dedup_simhash", "dedup_components",
     "kg_linked_triples", "pipeline_triples", "sample_stratified",
+    "kg_eval_accuracy", "sample_hash", "sample_kshot", "sample_kpartition",
 ]
 
 FAMILIES = ["mention_contexts", "scheme_rewrite", "ngram_jaccard",

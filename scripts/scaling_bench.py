@@ -234,6 +234,22 @@ def main() -> None:
     # whichever tenant-noise window a single leg happened to land in.
     schedule = [(N_SMALL, False), (N_BIG, False), (N_BIG, True), (N_SMALL, True)]
     results: dict = {}
+    # merge across invocations too: one orchestrator run covers ~2 noise
+    # windows per width, but a whole bad hour (measured 2026-08-17: walls
+    # [500.8, 180.6, 225.7] for the SAME local[4] job) needs later clean
+    # windows to fold in. Prior runs' raw walls stay listed — only the
+    # per-metric best is taken, per the documented protocol.
+    prior_path = os.path.join(REPO, "BENCH_SCALING.json")
+    if os.path.exists(prior_path):
+        try:
+            with open(prior_path) as fh:
+                prior = json.load(fh)
+            if prior.get("n_pages") == n_pages:
+                for cpus_key, run in prior.get("runs", {}).items():
+                    results[int(cpus_key)] = run
+                print(f"merged prior windows from {prior_path}")
+        except (json.JSONDecodeError, KeyError, TypeError):
+            pass
     for cpus, light in schedule:
         args = [sys.executable, os.path.abspath(__file__), "--run-one",
                 str(cpus), str(n_pages)] + (["light"] if light else [])

@@ -96,10 +96,15 @@ def shingle_arrays(documents: DataFrame, k: int = 3) -> DataFrame:
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
         )
     )
-    return (
-        documents.filter(F.size(ws_tokens()) > 0)
-        .select("doc_id", F.explode(F.array(sh)).alias("sh"))
-    )
+    # token-less docs produce exactly the singleton [md5('')] array (a doc
+    # WITH tokens always joins >=1 non-empty token, so md5('') can never
+    # appear otherwise); filtering on that constant AFTER the Generate
+    # barrier costs one array compare — a pre-UDF filter on
+    # size(ws_tokens()) would re-run the tokenize regex per row
+    md5_empty = "d41d8cd98f00b204e9800998ecf8427e"
+    return documents.select(
+        "doc_id", F.explode(F.array(sh)).alias("sh")
+    ).filter(F.col("sh") != F.array(F.lit(md5_empty)))
 
 
 def shingles(documents: DataFrame, k: int = 3) -> DataFrame:

@@ -1597,14 +1597,18 @@ def _oracles() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
         "kg_prediction_diff": f"""
+            -- coalesce to '': DuckDB's array_to_string([], '') is NULL,
+            -- but Spark's concat_ws over an empty array is '' — a
+            -- token-less doc has IDENTICAL (empty) labels in both runs
+            -- and must not appear as a divergence (fuzz_oracle finding)
             WITH a AS (
-              SELECT doc_id, array_to_string(list_transform({toks},
-                t -> coalesce(substr({_typ_case_sql('t', GAZ_PRED)}, 1, 1), 'O')), '') AS labels_a
+              SELECT doc_id, coalesce(array_to_string(list_transform({toks},
+                t -> coalesce(substr({_typ_case_sql('t', GAZ_PRED)}, 1, 1), 'O')), ''), '') AS labels_a
               FROM documents
             ),
             b AS (
-              SELECT doc_id, array_to_string(list_transform({toks},
-                t -> coalesce(substr({_typ_case_sql('t', GAZ_GOLD)}, 1, 1), 'O')), '') AS labels_b
+              SELECT doc_id, coalesce(array_to_string(list_transform({toks},
+                t -> coalesce(substr({_typ_case_sql('t', GAZ_GOLD)}, 1, 1), 'O')), ''), '') AS labels_b
               FROM documents
             )
             SELECT doc_id, labels_a, labels_b

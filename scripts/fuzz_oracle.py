@@ -110,9 +110,11 @@ def gen_corpus_rows(rng: random.Random) -> list[tuple]:
     prev_tokens: list[str] | None = None
     for doc_id in range(n_docs):
         r = rng.random()
-        if r < 0.04:
+        if r < 0.03:
+            text = None                     # NULL text (extraction failed)
+        elif r < 0.06:
             text = ""                       # empty document
-        elif r < 0.08:
+        elif r < 0.09:
             text = "   "                    # whitespace-only
         elif r < 0.30 and prev_tokens:
             # near-duplicate of the previous doc: mutate one token
@@ -124,8 +126,9 @@ def gen_corpus_rows(rng: random.Random) -> list[tuple]:
             # occasional double space — the \S+ tokenizer must agree on it
             sep = "  " if rng.random() < 0.1 else " "
             text = sep.join(toks)
-        prev_tokens = text.split() or None
-        rows.append((doc_id, text, rng.choice(LANGS), "fuzz", len(text)))
+        prev_tokens = text.split() if text else None
+        rows.append((doc_id, text, rng.choice(LANGS), "fuzz",
+                     len(text) if text is not None else None))
     return rows
 
 
@@ -364,6 +367,19 @@ def main() -> int:
         failures = fuzz(spark, args.n, args.seed, tmp_root=None)
     finally:
         spark.stop()
+    import json
+
+    report = {
+        "n_settings": args.n,
+        "seed": args.seed,
+        "failures": [
+            {"label": label, "setting": s, "err": err}
+            for label, s, err in failures
+        ],
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "FUZZ_REPORT.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
     if failures:
         print(f"\n{len(failures)} FAILING SETTINGS:")
         for label, s, err in failures:

@@ -70,7 +70,7 @@ FIXED_DOC_QUERIES = [
 
 FAMILIES = ["mention_contexts", "scheme_rewrite", "ngram_jaccard",
             "minhash_lsh", "lsh_jaccard", "simhash_pairs", "fixed",
-            "ann_cosine", "emb_near_dup"]
+            "ann_cosine", "ann_signlsh", "emb_near_dup"]
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +191,7 @@ def draw_setting(rng: random.Random) -> dict:
         s["n_hashes"], s["bands"] = rng.choice([(8, 4), (16, 8), (12, 4)])
     elif fam == "simhash_pairs":
         s["max_hamming"] = rng.choice([1, 3, 7])
-    elif fam == "ann_cosine":
+    elif fam in ("ann_cosine", "ann_signlsh"):
         s["n_queries"] = rng.randint(3, 12)
         s["k"] = rng.randint(1, 8)
     elif fam == "emb_near_dup":
@@ -258,6 +258,16 @@ def build_pair(spark, sf_dir: str, s: dict, cleanup: list):
             simsearch.cosine_topk(embs, s["n_queries"], s["k"]),
             simsearch.cosine_topk_sql("embeddings", s["n_queries"], s["k"]),
         )
+    if fam == "ann_signlsh":
+        from split_ner_spark.ops import simsearch
+
+        embs = Q.load(spark, sf_dir, "embeddings")
+        return (
+            f"ann_signlsh q={s['n_queries']} k={s['k']}",
+            simsearch.lsh_cosine_topk(embs, s["n_queries"], s["k"]),
+            simsearch.lsh_cosine_topk_sql("embeddings", s["n_queries"],
+                                          s["k"]),
+        )
     if fam == "emb_near_dup":
         from split_ner_spark.ops import simsearch
 
@@ -296,7 +306,7 @@ def run_setting(spark, tmpdir: str, s: dict) -> tuple[str, str | None]:
     rng = random.Random(s["data_seed"])
     emb_rows = (
         gen_embedding_rows(rng)
-        if s["family"] in ("ann_cosine", "emb_near_dup")
+        if s["family"] in ("ann_cosine", "ann_signlsh", "emb_near_dup")
         else None
     )
     sf_dir = make_fuzz_dir(tmpdir, gen_corpus_rows(rng), emb_rows)

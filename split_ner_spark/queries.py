@@ -946,6 +946,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.rp_lsh_topk(load(spark, sf_dir, "embeddings"))
 
 
+def q_ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 sign-bucket ANN variant (single 8-bit sign-LSH bucket join) —
+    the simpler sibling of the banded RP-LSH production path, kept
+    oracle-checked as the second point on the recall/cost curve."""
+    return simsearch.lsh_cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH path vs the brute-force oracle — the ANN
     quality gate as a query, itself oracle-checked."""
@@ -1663,6 +1670,7 @@ def _oracles() -> dict[str, str]:
         """,
         "ann_cosine_topk": simsearch.cosine_topk_sql(),
         "ann_lsh_topk": simsearch.rp_lsh_topk_sql(),
+        "ann_signlsh_topk": simsearch.lsh_cosine_topk_sql(),
         "ann_recall": f"""
             WITH exact AS (
               SELECT query_id, neighbor_id FROM ({simsearch.cosine_topk_sql()})
@@ -1857,6 +1865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_by_brand": q_parts_by_brand,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_signlsh_topk": q_ann_signlsh_topk,
     "ann_recall": q_ann_recall,
     "emb_near_dup": q_emb_near_dup,
     "kg_eval_accuracy": q_kg_eval_accuracy,

@@ -9,6 +9,15 @@ round 3 EVERY entry has a DuckDB oracle twin (zero rows-only checks):
 ``pipeline_triples`` hash-checks the full segment→detect→assemble→
 classify→link→triples chain, and ``multimodal_features`` checks the
 binary-payload digests.
+
+Sweep-coverage contract (round 5): ``queries()`` has 51 entries; a
+correctness sweep must record one row per entry — round 4's driver run
+recorded exactly the first 50 in dict insertion order and silently
+dropped the then-last entry (``multimodal_features``). The registry is
+now ordered so any first-50 truncation drops only ``ann_recall`` (a
+derived recombination of two other hash-checked rows), and the local
+harness (scripts/oracle_check.py) asserts
+``len(results) == len(queries())`` so a silent drop fails loudly.
 """
 
 from __future__ import annotations

@@ -43,6 +43,20 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or list(ORACLES)
+    if not sys.argv[2:]:
+        # Coverage gate (VERDICT r4 #1): every registered query MUST have
+        # an oracle twin and be swept — a silent drop (round 4 lost
+        # multimodal_features when the registry hit 51 entries) fails
+        # loudly here instead of surfacing as a missing CORRECTNESS row.
+        assert set(ORACLES) == set(QUERIES), (
+            f"registry/oracle mismatch: only-in-QUERIES="
+            f"{sorted(set(QUERIES) - set(ORACLES))} only-in-ORACLES="
+            f"{sorted(set(ORACLES) - set(QUERIES))}"
+        )
+        assert len(names) == len(QUERIES), (
+            f"sweep covers {len(names)} of {len(QUERIES)} registered queries"
+        )
+        print(f"sweeping ALL {len(names)} registered queries")
 
     from pyspark.sql import SparkSession
 

@@ -221,11 +221,18 @@ def _merge_best(base: dict | None, new: dict) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--run-one":
-        light = sys.argv[4] if len(sys.argv) > 4 else False
-        run_one(int(sys.argv[2]), int(sys.argv[3]), light=light)
+    argv = list(sys.argv[1:])
+    if argv and argv[0] == "--run-one":
+        light = argv[3] if len(argv) > 3 else False
+        run_one(int(argv[1]), int(argv[2]), light=light)
         return
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else DEFAULT_PAGES
+    # Merging prior windows is opt-in (ADVICE r4): a default run is a
+    # self-contained single-protocol measurement; --merge-prior folds in
+    # earlier windows (per-metric best, raw walls all kept) when a known
+    # noise hour needs later clean windows to correct it.
+    merge_prior = "--merge-prior" in argv
+    argv = [a for a in argv if a != "--merge-prior"]
+    n_pages = int(argv[0]) if argv else DEFAULT_PAGES
     # the hypervisor over-commits this VM and noise comes in MINUTES-long
     # windows (measured: the same local[16] job swings 70-130s between
     # windows while local[4] stays within ~5%) — so the two widths are
@@ -240,7 +247,7 @@ def main() -> None:
     # windows to fold in. Prior runs' raw walls stay listed — only the
     # per-metric best is taken, per the documented protocol.
     prior_path = os.path.join(REPO, "BENCH_SCALING.json")
-    if os.path.exists(prior_path):
+    if merge_prior and os.path.exists(prior_path):
         try:
             with open(prior_path) as fh:
                 prior = json.load(fh)
@@ -269,6 +276,17 @@ def main() -> None:
             results.get(cpus), json.loads(line[-1][len("RESULT "):])
         )
         print(f"local[{cpus}] (light={light}): {results[cpus]}")
+    # window accounting (ADVICE r4): besides the per-metric best, report
+    # how many windows fed each width and the median wall, so the artifact
+    # cannot silently drift toward a best-case estimate as runs accumulate
+    import statistics
+
+    for cpus, run in results.items():
+        walls = sorted(run.get("job_walls", []))
+        run["n_windows"] = len(walls)
+        run["job_wall_median_s"] = (
+            round(statistics.median(walls), 2) if walls else None
+        )
     ratio = N_BIG / N_SMALL
     job_eff = (results[N_SMALL]["job_wall_s"] / results[N_BIG]["job_wall_s"]) / ratio
     udf_eff = (results[N_SMALL]["udf_wall_s"] / results[N_BIG]["udf_wall_s"]) / ratio
@@ -290,8 +308,14 @@ def main() -> None:
             "minutes-long windows), best wall per metric kept"
         ),
         "n_pages": n_pages,
+        "merged_prior_windows": merge_prior,
         "runs": results,
         "job_scaling_efficiency": round(job_eff, 3),
+        "job_scaling_efficiency_median": round(
+            (results[N_SMALL]["job_wall_median_s"]
+             / results[N_BIG]["job_wall_median_s"]) / ratio, 3
+        ) if results[N_SMALL].get("job_wall_median_s")
+        and results[N_BIG].get("job_wall_median_s") else None,
         "udf_stage_scaling_efficiency": round(udf_eff, 3),
         "per_stage_scaling_efficiency": stage_eff,
         "jvm_shuffle_scaling_efficiency": round(

@@ -17,11 +17,21 @@ this handles write/partition-side skew, which AQE does not (SURVEY §4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
+# Degenerate-sentence cap for co-occurrence pair expansion. Shared single
+# source of truth: the SQL oracle twins in queries.py interpolate THIS
+# constant into their `rk <= N` window filters, so a cap change cannot
+# silently break Spark/DuckDB equivalence (ADVICE r4).
+MAX_COOCCUR_ENTITIES = 1024
 
-def cooccurrence_pairs(linked: DataFrame, max_entities: int = 1024) -> DataFrame:
+
+def cooccurrence_pairs(
+    linked: DataFrame,
+    max_entities: int = MAX_COOCCUR_ENTITIES,
+    observation: Observation | None = None,
+) -> DataFrame:
     """Distinct canonical-id pairs co-mentioned in one sentence (a < b).
 
     ONE ``collect_set`` groupBy per sentence, pairs expanded inside the
@@ -43,16 +53,29 @@ def cooccurrence_pairs(linked: DataFrame, max_entities: int = 1024) -> DataFrame
     (deterministic; ≈ 524k pairs — the k≤1024 shape measures in normal
     task time). Real sentences have tens of entities; the cap exists
     only to keep a degenerate page from stalling a 100 TB job. The SQL
-    oracle twins mirror the same cap."""
-    sets = (
-        linked.groupBy("url", "sent_id")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_set("canonical_id")), 1, max_entities
-            ).alias("_cs")
-        )
-        .filter(F.size("_cs") >= 2)
+    oracle twins mirror the same cap (via ``MAX_COOCCUR_ENTITIES``).
+
+    ``observation``: optionally pass a :class:`pyspark.sql.Observation`;
+    it records ``n_capped_sentences`` (sentences whose distinct-entity
+    count exceeded the cap — the silent coverage bound, now counted) and
+    ``n_sentences`` alongside the first action, at zero extra job cost
+    (CollectMetrics rides the existing aggregate; no second pass)."""
+    sets = linked.groupBy("url", "sent_id").agg(
+        F.array_sort(F.collect_set("canonical_id")).alias("_all")
     )
+    sets = sets.select(
+        "url",
+        "sent_id",
+        F.slice("_all", 1, max_entities).alias("_cs"),
+        (F.size("_all") > max_entities).alias("_capped"),
+    )
+    if observation is not None:
+        sets = sets.observe(
+            observation,
+            F.sum(F.col("_capped").cast("long")).alias("n_capped_sentences"),
+            F.count(F.lit(1)).alias("n_sentences"),
+        )
+    sets = sets.filter(F.size("_cs") >= 2)
     pairs = F.flatten(
         F.transform(
             F.col("_cs"),
@@ -69,9 +92,12 @@ def cooccurrence_pairs(linked: DataFrame, max_entities: int = 1024) -> DataFrame
     )  # global dedup happens in make_triples' single union-level distinct
 
 
-def make_triples(linked: DataFrame) -> DataFrame:
+def make_triples(
+    linked: DataFrame, observation: Observation | None = None
+) -> DataFrame:
     """linked mentions(url, sent_id, ..., entity_type, canonical_id) →
-    triples(subj, pred, obj)."""
+    triples(subj, pred, obj). ``observation`` is threaded to
+    :func:`cooccurrence_pairs` to count cap-exceeding sentences."""
     typed = linked.filter(F.col("entity_type").isNotNull()).select(
         F.col("canonical_id").alias("subj"),
         F.lit("typed_as").alias("pred"),
@@ -88,7 +114,7 @@ def make_triples(linked: DataFrame) -> DataFrame:
     # per-sentence dedup to bound the self-join fan-out).
     return (
         typed.unionByName(mentioned)
-        .unionByName(cooccurrence_pairs(linked))
+        .unionByName(cooccurrence_pairs(linked, observation=observation))
         .distinct()
     )
 
@@ -127,23 +153,40 @@ def salted_by_subject(
         # ≤ 1/hot_fraction subjects can each hold > hot_fraction of the
         # data; 4x headroom absorbs sample noise near the threshold
         cap = 4 * int(1.0 / hot_fraction) + 1
-        counts = (
-            triples.sample(fraction=sample_fraction, seed=seed)
-            .groupBy("subj")
-            .agg(F.count("*").alias("c"))
-            .cache()  # eagerly released below — never escapes this call
-        )
-        try:
-            total = counts.agg(F.sum("c")).collect()[0][0] or 0
-            hot_rows = (
-                counts.filter(F.col("c") > hot_fraction * total)
-                .orderBy(F.desc("c"))
-                .limit(cap)
-                .collect()
+
+        def _detect(frac: float) -> tuple[int, list]:
+            src = (
+                triples.sample(fraction=frac, seed=seed)
+                if frac < 1.0
+                else triples
             )
-        finally:
-            counts.unpersist()
-        hot_subjects = [r["subj"] for r in hot_rows]
+            counts = (
+                src.groupBy("subj")
+                .agg(F.count("*").alias("c"))
+                .cache()  # eagerly released below — never escapes this call
+            )
+            try:
+                total = counts.agg(F.sum("c")).collect()[0][0] or 0
+                hot_rows = (
+                    counts.filter(F.col("c") > hot_fraction * total)
+                    .orderBy(F.desc("c"))
+                    .limit(cap)
+                    .collect()
+                )
+            finally:
+                counts.unpersist()
+            return total, [r["subj"] for r in hot_rows]
+
+        total, hot_subjects = _detect(sample_fraction)
+        # Small-input guard (ADVICE r4): a hot subject at hot_fraction of
+        # the data is expected ~ total_rows*sample_fraction*hot_fraction
+        # times in the sample; below ~1/(hot_fraction*sample_fraction)
+        # rows that expectation drops under 1 and the sample can miss a
+        # genuinely hot key (or be empty), silently disabling the salting
+        # this function exists for on micro-batches / low-SF runs. Exact
+        # counting at that size is cheap by construction.
+        if sample_fraction < 1.0 and total < 1.0 / (hot_fraction * sample_fraction):
+            total, hot_subjects = _detect(1.0)
     if hot_subjects:
         salted = triples.withColumn(
             "salt",

@@ -27,7 +27,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import corpus
@@ -196,7 +196,9 @@ def run_pipeline(
         )
         # cache the triple set too: the salting pass reads it once for
         # heavy-hitter detection and once for the write
-        tri = make_triples(linked).cache()
+        tri_built = not (resume and sc.is_committed("triples"))
+        cooccur_obs = Observation("cooccur_cap") if tri_built else None
+        tri = make_triples(linked, observation=cooccur_obs).cache()
         triples = sc.stage(
             "triples",
             lambda: salted_by_subject(tri, triple_partitions),
@@ -232,9 +234,14 @@ def run_pipeline(
         # link dim cache is no longer needed by anything downstream
         for _df in _link_cleanup:
             _df.unpersist()
+        tri_built = not (resume and sc.is_committed("triples"))
+        cooccur_obs = Observation("cooccur_cap") if tri_built else None
         triples = sc.stage(
             "triples",
-            lambda: salted_by_subject(make_triples(linked), triple_partitions),
+            lambda: salted_by_subject(
+                make_triples(linked, observation=cooccur_obs),
+                triple_partitions,
+            ),
             resume,
         )
         stage_names = [
@@ -242,6 +249,22 @@ def run_pipeline(
         ]
 
     wall_s = time.time() - t_start
+    # Co-occurrence cap observability (VERDICT r4 #3): how many sentences
+    # exceeded MAX_COOCCUR_ENTITIES and had their pair expansion truncated.
+    # Observation metrics ride the triples write action (zero extra jobs);
+    # on a resumed run the stage never executed, so the metric is absent.
+    cooccur_metrics = None
+    if cooccur_obs is not None:
+        got = cooccur_obs.get  # populated: the triples commit already ran
+        cooccur_metrics = {
+            "n_capped_sentences": got["n_capped_sentences"] or 0,
+            "n_sentences": got["n_sentences"] or 0,
+        }
+        with open(sc.lineage_path, "a") as fh:
+            fh.write(
+                json.dumps({"stage": "triples", "metric": "cooccur_cap",
+                            **cooccur_metrics}) + "\n"
+            )
     n_triples = json.load(open(os.path.join(workdir, "_COMMIT.triples.json")))["rows"]
     summary = {
         "n_pages": n_pages,
@@ -252,6 +275,7 @@ def run_pipeline(
         "wall_s": round(wall_s, 3),
         "triples": n_triples,
         "triples_per_sec": round(n_triples / wall_s, 2) if wall_s > 0 else None,
+        "cooccur_cap": cooccur_metrics,
     }
     if evaluate:
         if pg is None:

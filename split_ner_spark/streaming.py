@@ -19,6 +19,8 @@ the whole stream synchronously (no timers).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -209,14 +211,25 @@ def incremental_triples(
     from .ops.triples import make_triples
 
     def _nonempty(d: str) -> bool:
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(d)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(path):
+        # Spark Connect has no py4j gateway (ADVICE r4): fall back to a
+        # local-filesystem probe for plain paths there; remote URIs under
+        # Connect get a permissive False (the checkpoint store itself
+        # still rejects true cross-run corruption).
+        if hasattr(spark, "_jvm") and spark._jvm is not None:
+            jvm = spark._jvm
+            path = jvm.org.apache.hadoop.fs.Path(d)
+            fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(path):
+                return False
+            return any(
+                not st.getPath().getName().startswith((".", "_"))
+                for st in fs.listStatus(path)
+            )
+        local = d[len("file:"):] if d.startswith("file:") else d
+        if "://" in local:
             return False
-        return any(
-            not st.getPath().getName().startswith((".", "_"))
-            for st in fs.listStatus(path)
+        return os.path.isdir(local) and any(
+            not name.startswith((".", "_")) for name in os.listdir(local)
         )
 
     if _nonempty(out_dir) and not _nonempty(checkpoint_dir):

@@ -59,7 +59,24 @@ def test_lineage_records(workdir, summary):
     lines = [json.loads(l) for l in open(os.path.join(workdir, "_lineage.jsonl"))]
     stages = {l["stage"] for l in lines}
     assert {"pages_gold", "sentences", "detected", "mentions", "linked", "triples"} <= stages
-    assert all(l["rows"] >= 0 and l["wall_ms"] >= 0 and l["partition_file"] for l in lines)
+    part_lines = [l for l in lines if "metric" not in l]
+    assert all(
+        l["rows"] >= 0 and l["wall_ms"] >= 0 and l["partition_file"]
+        for l in part_lines
+    )
+    # the co-occurrence cap metric (VERDICT r4 #3) rides the triples stage:
+    # a 100 TB operator can see how often the degenerate-sentence truncation
+    # fired without re-running anything
+    caps = [l for l in lines if l.get("metric") == "cooccur_cap"]
+    assert caps, "cooccur_cap metric row missing from lineage"
+    assert caps[-1]["n_sentences"] > 0
+    assert 0 <= caps[-1]["n_capped_sentences"] <= caps[-1]["n_sentences"]
+    # normal corpus sentences have tens of entities — nothing should cap
+    assert caps[-1]["n_capped_sentences"] == 0
+    assert summary["cooccur_cap"] == {
+        "n_capped_sentences": caps[-1]["n_capped_sentences"],
+        "n_sentences": caps[-1]["n_sentences"],
+    }
 
 
 def test_byte_identity_extraction(spark):

@@ -58,6 +58,88 @@ def sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+def calibrate(spark, label: str) -> dict:
+    """Fixed-work noise probe (VERDICT r4 #2): a constant-size pure-JVM
+    shuffle plus a constant-FLOP numpy matmul. On a quiet machine both
+    walls are constant run-to-run; hypervisor noise (which on this VM
+    arrives in minutes-long windows and has swung the identical pipeline
+    job 47.7→338.6s) inflates them proportionally. Probes run before and
+    after each measured block and land IN the artifact, so a reader can
+    classify each measured wall as clean/noisy without cross-referencing
+    other artifacts. ~3s per probe."""
+    import numpy as np
+
+    t0 = time.time()
+    (
+        spark.range(0, 8_000_000, 1, 16)
+        .selectExpr("cast(id % 500000 as string) as k")
+        .repartition(16, "k")
+        .selectExpr("count(distinct k)")
+        .collect()
+    )
+    jvm = round(time.time() - t0, 3)
+    t0 = time.time()
+    a = np.random.default_rng(0).random((1200, 1200))
+    float((a @ a).sum())
+    npw = round(time.time() - t0, 3)
+    return {"at": label, "jvm_shuffle_s": jvm, "numpy_matmul_s": npw}
+
+
+_CAL_REF_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_CALIBRATION_REF.json"
+)
+
+
+def load_cal_ref(cpus: int) -> dict | None:
+    """Cross-session clean-machine estimate for the fixed-work probe,
+    keyed by cpu count. Min-ever merging is correct HERE (unlike for
+    measured walls, scripts/scaling_bench.py --merge-prior): the probe is
+    constant work, so its minimum over all sessions converges to the
+    quiet-machine constant, and a session whose EVERY probe is slow —
+    which session-relative factors would self-normalize to 1.0 — still
+    flags against it."""
+    try:
+        with open(_CAL_REF_PATH) as fh:
+            return json.load(fh).get(str(cpus))
+    except (OSError, ValueError):
+        return None
+
+
+def update_cal_ref(cpus: int, best_jvm: float, best_np: float) -> None:
+    try:
+        with open(_CAL_REF_PATH) as fh:
+            ref = json.load(fh)
+    except (OSError, ValueError):
+        ref = {}
+    cur = ref.get(str(cpus), {})
+    ref[str(cpus)] = {
+        "jvm_shuffle_s": min(best_jvm, cur.get("jvm_shuffle_s", best_jvm)),
+        "numpy_matmul_s": min(best_np, cur.get("numpy_matmul_s", best_np)),
+        "n_sessions": cur.get("n_sessions", 0) + 1,
+    }
+    with open(_CAL_REF_PATH, "w") as fh:
+        json.dump(ref, fh, indent=1)
+
+
+def annotate_noise(cal_points: list[dict], ref: dict | None) -> dict:
+    """Add a per-probe noise factor = wall / baseline, per component;
+    ``factor`` is the max of the two. Baseline = min(session best,
+    cross-session min from BENCH_CALIBRATION_REF.json), so factor ≈ 1.0
+    means a genuinely quiet window, not merely this session's quietest.
+    Returns the baseline used (for the artifact)."""
+    best_jvm = min(p["jvm_shuffle_s"] for p in cal_points)
+    best_np = min(p["numpy_matmul_s"] for p in cal_points)
+    if ref:
+        best_jvm = min(best_jvm, ref["jvm_shuffle_s"])
+        best_np = min(best_np, ref["numpy_matmul_s"])
+    for p in cal_points:
+        p["factor"] = round(
+            max(p["jvm_shuffle_s"] / best_jvm, p["numpy_matmul_s"] / best_np), 2
+        )
+    return {"jvm_shuffle_s": best_jvm, "numpy_matmul_s": best_np,
+            "cross_session": bool(ref)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -72,6 +154,7 @@ def main() -> None:
     # warm the JVM/python workers once so per-query numbers are not
     # dominated by first-job startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    cal_points: list[dict] = [calibrate(spark, "start")]
 
     # Protocol (round 3): the HEADLINE number for every query and for the
     # pipeline is the MEDIAN of the measured runs — the throughput you'd
@@ -93,6 +176,7 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = statistics.median(runs)
         timings_best[name] = min(runs)
+    cal_points.append(calibrate(spark, "after_queries"))
 
     # full KG pipeline at a corpus size proportional to the sf: 2M pages
     # at sf=0.1 — the SAME size as BENCH_SCALING.json, so the headline
@@ -121,7 +205,7 @@ def main() -> None:
     # every raw wall is reported.
     walls = []
     summary = None
-    for _ in range(3):
+    for i in range(3):
         workdir = tempfile.mkdtemp(prefix="bench_pipeline_", dir=tmp_root)
         try:
             t0 = time.time()
@@ -132,8 +216,23 @@ def main() -> None:
             walls.append(round(time.time() - t0, 3))
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
+        cal_points.append(calibrate(spark, f"after_pipeline_{i}"))
     timings["kg_pipeline"] = statistics.median(walls)
     timings_best["kg_pipeline"] = min(walls)
+    cal_baseline = annotate_noise(cal_points, load_cal_ref(cpus))
+    update_cal_ref(cpus, min(p["jvm_shuffle_s"] for p in cal_points),
+                   min(p["numpy_matmul_s"] for p in cal_points))
+    # a pipeline wall is flagged noisy when either bracketing probe saw a
+    # degraded machine (>1.3x the session-best probe wall)
+    probe_by_label = {p["at"]: p["factor"] for p in cal_points}
+    wall_flags = [
+        max(
+            probe_by_label["after_queries" if i == 0 else f"after_pipeline_{i - 1}"],
+            probe_by_label[f"after_pipeline_{i}"],
+        )
+        > 1.3
+        for i in range(3)
+    ]
 
     total = round(time.time() - t_all, 3)
     out = {
@@ -150,6 +249,17 @@ def main() -> None:
         "pipeline_pages": n_pages,
         "pipeline_triples": summary["triples"],
         "pipeline_walls": walls,
+        "pipeline_walls_noisy": wall_flags,
+        "calibration": {
+            "probe": "fixed-work: 8M-row JVM shuffle (16 parts) + 1200^2 "
+                     "numpy matmul; factor = probe wall / baseline, where "
+                     "baseline = min(session best, cross-session min for "
+                     "this cpu count, BENCH_CALIBRATION_REF.json); a "
+                     "measured wall bracketed by a probe with factor > 1.3 "
+                     "is hypervisor-noise suspect",
+            "baseline": cal_baseline,
+            "points": cal_points,
+        },
         "triples_per_sec": round(summary["triples"] / timings["kg_pipeline"], 2),
         "pages_per_sec": round(n_pages / timings["kg_pipeline"], 2),
         "triples_per_sec_best_observed": round(summary["triples"] / min(walls), 2),

@@ -342,14 +342,40 @@ def run_setting(spark, tmpdir: str, s: dict) -> tuple[str, str | None]:
     return label, None
 
 
+def coverage_of(settings: list[dict]) -> dict:
+    """Per-family coverage summary (VERDICT r4 next-round #7): how many
+    settings a sweep actually drew per family and over which parameter
+    values, so a reader can see which families/edge-cases were exercised
+    — a sweep where rng starvation left a family at 0 draws is visible
+    instead of silently capped."""
+    cov: dict[str, dict] = {}
+    for s in settings:
+        fam = s["family"]
+        c = cov.setdefault(fam, {"n": 0, "params": {}})
+        c["n"] += 1
+        for k, v in s.items():
+            if k in ("family", "data_seed"):
+                continue
+            c["params"].setdefault(k, []).append(v)
+    for c in cov.values():
+        c["params"] = {
+            k: sorted(set(map(str, vs))) for k, vs in c["params"].items()
+        }
+    for fam in FAMILIES:
+        cov.setdefault(fam, {"n": 0, "params": {}})
+    return dict(sorted(cov.items()))
+
+
 def fuzz(spark, n: int, seed: int, tmp_root: str, verbose: bool = True):
-    """Run n random settings; returns list of (label, error) failures."""
+    """Run n random settings; returns (failures, drawn settings)."""
     import tempfile
 
     rng = random.Random(seed)
     failures = []
+    settings = []
     for i in range(n):
         s = draw_setting(rng)
+        settings.append(s)
         with tempfile.TemporaryDirectory(prefix="fuzz_", dir=tmp_root) as td:
             label, err = run_setting(spark, td, s)
         status = "FAIL " + err if err else "ok"
@@ -358,7 +384,7 @@ def fuzz(spark, n: int, seed: int, tmp_root: str, verbose: bool = True):
                   f"{label:<46s} {status}", flush=True)
         if err:
             failures.append((label, s, err))
-    return failures
+    return failures, settings
 
 
 def main() -> int:
@@ -374,7 +400,7 @@ def main() -> int:
                       shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        failures = fuzz(spark, args.n, args.seed, tmp_root=None)
+        failures, settings = fuzz(spark, args.n, args.seed, tmp_root=None)
     finally:
         spark.stop()
     import json
@@ -382,6 +408,7 @@ def main() -> int:
     report = {
         "n_settings": args.n,
         "seed": args.seed,
+        "coverage_per_family": coverage_of(settings),
         "failures": [
             {"label": label, "setting": s, "err": err}
             for label, s, err in failures

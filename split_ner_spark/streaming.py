@@ -113,10 +113,14 @@ def first_seen_pages(
     micro-batch touches only the shards its urls hash to.
 
     Eviction semantics (explicit, not fine print): a ``(host, shard)`` key
-    idle for ``idle_timeout_ms`` past the event-time watermark is evicted
-    (EventTimeTimeout) and its digest history FORGOTTEN — a url re-crawled
-    after eviction is re-emitted as first-seen. Under eviction the
-    operator therefore guarantees at-least-once emission with exactly-once
+    idle for ``idle_timeout_ms`` past ``max(event-time watermark, the
+    key's last event time)`` is evicted (EventTimeTimeout) and its digest
+    history FORGOTTEN — a url re-crawled after eviction is re-emitted as
+    first-seen. (The event-time anchor matters for the FIRST micro-batch
+    of a fresh stream, which runs with watermark 0: anchored to the
+    watermark alone, the whole initial backfill's state would evict the
+    moment the watermark first advances.) Under eviction the operator
+    therefore guarantees at-least-once emission with exactly-once
     *within* any window where the key stays live; downstream writes must
     tolerate replays (the epoch-keyed triple writer does). Size
     ``idle_timeout_ms`` to the re-crawl horizon you need deduped.
@@ -135,15 +139,30 @@ def first_seen_pages(
             return
         seen = set(state.get[0]) if state.exists else set()
         out = []
+        max_ts_ms = 0
         for pdf in pdfs:
             for row in pdf.itertuples(index=False):
+                ts = row.warc_ts
+                if ts == ts and ts is not None:  # NaT != NaT
+                    max_ts_ms = max(max_ts_ms, ts.value // 1_000_000)
                 h = _digest(row.url)
                 if h in seen:
                     continue
                 seen.add(h)
                 out.append((row.host, row.url, row.warc_ts, row.text, row.lang))
         state.update((list(seen),))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idle_timeout_ms)
+        # Timeout anchor = max(watermark, this group's max event time).
+        # The first micro-batch of a fresh stream runs with watermark 0;
+        # anchoring to the watermark alone gives every first-batch key a
+        # 1970-epoch timeout, so the ENTIRE initial backfill's dedup state
+        # evicts the moment the watermark first advances — found by the
+        # 20-epoch soak test (urls from epoch 0 re-emitted in epoch 3).
+        # Anchoring to the group's own newest event gives first-batch keys
+        # the same idle horizon as every other key, and for live keys it
+        # is the more natural idle semantics (idle = no data for this key
+        # for idle_timeout past its last event, floored by the watermark).
+        anchor = max(state.getCurrentWatermarkMs(), max_ts_ms)
+        state.setTimeoutTimestamp(anchor + idle_timeout_ms)
         if out:
             yield pd.DataFrame(out, columns=[
                 "host", "url", "warc_ts", "text", "lang"
@@ -242,12 +261,30 @@ def incremental_triples(
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         cleanup: list[DataFrame] = []
-        mentions = typed_mentions(batch_df)
-        linked = link_mentions(mentions, alias_df, cleanup=cleanup)
-        triples = make_triples(linked)
-        triples.write.mode("overwrite").parquet(f"{out_dir}/epoch={int(epoch_id)}")
-        for df in cleanup:
-            df.unpersist()
+        # foreachBatch hands a LAZY frame, and the link+triple stages run
+        # more than one action (the surface-dimension materialization
+        # inside link_mentions, then the write). Unpinned, every action
+        # re-executes the whole upstream — the sharded stateful dedup AND
+        # the mention UDF (the transformer-forward slot, the dominant
+        # cost) — once per action. State updates are value-idempotent
+        # within a batch version, so results stay right, but the epoch
+        # pays the extraction twice and the state store replays its
+        # updates. Persisting the mentions frame pins exactly one
+        # upstream execution per epoch (the soak test asserts the state
+        # store's numRowsTotal stays at the live-key count, which
+        # multiplies under re-execution). The batch pipeline gets the
+        # same property from its committed stage tables.
+        mentions = typed_mentions(batch_df).persist()
+        try:
+            linked = link_mentions(mentions, alias_df, cleanup=cleanup)
+            triples = make_triples(linked)
+            triples.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={int(epoch_id)}"
+            )
+        finally:
+            mentions.unpersist()
+            for df in cleanup:
+                df.unpersist()
 
     stream = stream_pages(spark, pages_path, max_files=max_files)
     if dedupe:

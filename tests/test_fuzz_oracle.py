@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import pytest
 
-from scripts.fuzz_oracle import fuzz
+from scripts.fuzz_oracle import FAMILIES, coverage_of, fuzz
 
 N_SETTINGS = 25
 SEED = 20260817
@@ -23,8 +23,13 @@ SEED = 20260817
 @pytest.mark.fuzz
 @pytest.mark.slow
 def test_fuzz_oracle_25_settings(spark, tmp_path):
-    failures = fuzz(spark, N_SETTINGS, SEED, tmp_root=str(tmp_path),
-                    verbose=False)
+    failures, settings = fuzz(spark, N_SETTINGS, SEED, tmp_root=str(tmp_path),
+                              verbose=False)
     assert not failures, "\n".join(
         f"{label}: {err}  repro={s}" for label, s, err in failures
     )
+    # the coverage report must account for every drawn setting and list
+    # every family (0-draw families visible, not silently absent)
+    cov = coverage_of(settings)
+    assert sum(c["n"] for c in cov.values()) == N_SETTINGS
+    assert set(cov) >= set(FAMILIES)

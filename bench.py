@@ -60,13 +60,22 @@ def sf_from_dir(sf_dir: str) -> float:
 
 def calibrate(spark, label: str) -> dict:
     """Fixed-work noise probe (VERDICT r4 #2): a constant-size pure-JVM
-    shuffle plus a constant-FLOP numpy matmul. On a quiet machine both
-    walls are constant run-to-run; hypervisor noise (which on this VM
-    arrives in minutes-long windows and has swung the identical pipeline
-    job 47.7→338.6s) inflates them proportionally. Probes run before and
-    after each measured block and land IN the artifact, so a reader can
-    classify each measured wall as clean/noisy without cross-referencing
-    other artifacts. ~3s per probe."""
+    shuffle plus a constant-work SINGLE-THREADED numpy sort. On a quiet
+    machine both walls are constant run-to-run; hypervisor noise (which
+    on this VM arrives in minutes-long windows and has swung the
+    identical pipeline job 47.7→338.6s) inflates them proportionally.
+    Probes run before and after each measured block and land IN the
+    artifact, so a reader can classify each measured wall as clean/noisy
+    without cross-referencing other artifacts. ~2-3s per probe.
+
+    The python probe is deliberately single-threaded (numpy sort, no
+    BLAS): the first artifact used a 32-thread BLAS matmul, whose wall
+    swung 5x from thread-scheduling alone in a window the JVM probe
+    measured flat (0.90-1.06s) — a multi-threaded micro-job measures
+    scheduler placement luck, not hypervisor steal. The caller must also
+    discard one warmup probe before the first measured one: the JVM leg
+    pays one-time codegen/JIT (measured 6.1s warmup vs 1.0s steady on a
+    quiet machine) which would otherwise read as a 6x noise factor."""
     import numpy as np
 
     t0 = time.time()
@@ -78,11 +87,17 @@ def calibrate(spark, label: str) -> dict:
         .collect()
     )
     jvm = round(time.time() - t0, 3)
-    t0 = time.time()
-    a = np.random.default_rng(0).random((1200, 1200))
-    float((a @ a).sum())
-    npw = round(time.time() - t0, 3)
-    return {"at": label, "jvm_shuffle_s": jvm, "numpy_matmul_s": npw}
+    # min-of-3: a single-threaded probe can land on one momentarily
+    # stolen vCPU by scheduler placement luck; sustained steal (the
+    # signal we want) slows all three reps, a one-core spike does not.
+    # The clean-machine constant of min-of-3 equals that of one rep, so
+    # the key's meaning (wall of one 8M-float sort) is unchanged.
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        np.sort(np.random.default_rng(0).random(8_000_000))
+        reps.append(round(time.time() - t0, 3))
+    return {"at": label, "jvm_shuffle_s": jvm, "numpy_st_s": min(reps)}
 
 
 _CAL_REF_PATH = os.path.join(
@@ -100,9 +115,14 @@ def load_cal_ref(cpus: int) -> dict | None:
     flags against it."""
     try:
         with open(_CAL_REF_PATH) as fh:
-            return json.load(fh).get(str(cpus))
+            ref = json.load(fh).get(str(cpus))
     except (OSError, ValueError):
         return None
+    # reject entries from an older probe definition (e.g. the retired
+    # BLAS matmul): constants from different work are not comparable
+    if not ref or "numpy_st_s" not in ref:
+        return None
+    return ref
 
 
 def update_cal_ref(cpus: int, best_jvm: float, best_np: float) -> None:
@@ -114,7 +134,7 @@ def update_cal_ref(cpus: int, best_jvm: float, best_np: float) -> None:
     cur = ref.get(str(cpus), {})
     ref[str(cpus)] = {
         "jvm_shuffle_s": min(best_jvm, cur.get("jvm_shuffle_s", best_jvm)),
-        "numpy_matmul_s": min(best_np, cur.get("numpy_matmul_s", best_np)),
+        "numpy_st_s": min(best_np, cur.get("numpy_st_s", best_np)),
         "n_sessions": cur.get("n_sessions", 0) + 1,
     }
     with open(_CAL_REF_PATH, "w") as fh:
@@ -128,15 +148,15 @@ def annotate_noise(cal_points: list[dict], ref: dict | None) -> dict:
     means a genuinely quiet window, not merely this session's quietest.
     Returns the baseline used (for the artifact)."""
     best_jvm = min(p["jvm_shuffle_s"] for p in cal_points)
-    best_np = min(p["numpy_matmul_s"] for p in cal_points)
+    best_np = min(p["numpy_st_s"] for p in cal_points)
     if ref:
         best_jvm = min(best_jvm, ref["jvm_shuffle_s"])
-        best_np = min(best_np, ref["numpy_matmul_s"])
+        best_np = min(best_np, ref["numpy_st_s"])
     for p in cal_points:
         p["factor"] = round(
-            max(p["jvm_shuffle_s"] / best_jvm, p["numpy_matmul_s"] / best_np), 2
+            max(p["jvm_shuffle_s"] / best_jvm, p["numpy_st_s"] / best_np), 2
         )
-    return {"jvm_shuffle_s": best_jvm, "numpy_matmul_s": best_np,
+    return {"jvm_shuffle_s": best_jvm, "numpy_st_s": best_np,
             "cross_session": bool(ref)}
 
 
@@ -154,6 +174,7 @@ def main() -> None:
     # warm the JVM/python workers once so per-query numbers are not
     # dominated by first-job startup.
     spark.range(1000).selectExpr("sum(id)").collect()
+    calibrate(spark, "warmup_discarded")  # JVM codegen/JIT warmup, not noise
     cal_points: list[dict] = [calibrate(spark, "start")]
 
     # Protocol (round 3): the HEADLINE number for every query and for the
@@ -221,7 +242,7 @@ def main() -> None:
     timings_best["kg_pipeline"] = min(walls)
     cal_baseline = annotate_noise(cal_points, load_cal_ref(cpus))
     update_cal_ref(cpus, min(p["jvm_shuffle_s"] for p in cal_points),
-                   min(p["numpy_matmul_s"] for p in cal_points))
+                   min(p["numpy_st_s"] for p in cal_points))
     # a pipeline wall is flagged noisy when either bracketing probe saw a
     # degraded machine (>1.3x the session-best probe wall)
     probe_by_label = {p["at"]: p["factor"] for p in cal_points}
@@ -251,8 +272,9 @@ def main() -> None:
         "pipeline_walls": walls,
         "pipeline_walls_noisy": wall_flags,
         "calibration": {
-            "probe": "fixed-work: 8M-row JVM shuffle (16 parts) + 1200^2 "
-                     "numpy matmul; factor = probe wall / baseline, where "
+            "probe": "fixed-work: 8M-row JVM shuffle (16 parts) + "
+                     "single-threaded 8M-float numpy sort (one discarded "
+                     "JIT-warmup probe first); factor = probe wall / baseline, where "
                      "baseline = min(session best, cross-session min for "
                      "this cpu count, BENCH_CALIBRATION_REF.json); a "
                      "measured wall bracketed by a probe with factor > 1.3 "

@@ -97,12 +97,44 @@ def calibrate(spark, label: str) -> dict:
         t0 = time.time()
         np.sort(np.random.default_rng(0).random(8_000_000))
         reps.append(round(time.time() - t0, 3))
-    return {"at": label, "jvm_shuffle_s": jvm, "numpy_st_s": min(reps)}
+    # python-worker probe: a fixed-work mapInPandas job over all local
+    # threads — worker dispatch + Arrow transfer + pandas compute, the
+    # path that dominates the measured pipeline. Added after a session
+    # where pipeline walls ran 4-5x slow while the JVM and single-core
+    # probes read 1.2-1.5x: whatever the hypervisor does to the python
+    # worker pool is invisible to the other two probe components.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n_parts = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+
+    def _spin(it):
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"s": [float(np.sort(pdf["v"].to_numpy(copy=True)).sum())]}
+            )
+
+    (
+        spark.range(0, 1_000_000 * n_parts, 1, n_parts)
+        .selectExpr("cast(pmod(id * 2654435761, 1000003) as double) as v")
+        .mapInPandas(_spin, "s double")
+        .agg({"s": "sum"})
+        .collect()
+    )
+    pyw = round(time.time() - t0, 3)
+    return {"at": label, "jvm_shuffle_s": jvm, "numpy_st_s": min(reps),
+            "py_udf_s": pyw}
 
 
 _CAL_REF_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_CALIBRATION_REF.json"
 )
+
+# fixed-work probe components; a probe point and a reference entry carry
+# one wall per component, and the noise factor is the max over them
+_CAL_COMPONENTS = ("jvm_shuffle_s", "numpy_st_s", "py_udf_s")
 
 
 def load_cal_ref(cpus: int) -> dict | None:
@@ -119,45 +151,43 @@ def load_cal_ref(cpus: int) -> dict | None:
     except (OSError, ValueError):
         return None
     # reject entries from an older probe definition (e.g. the retired
-    # BLAS matmul): constants from different work are not comparable
-    if not ref or "numpy_st_s" not in ref:
+    # BLAS matmul, or pre-py_udf probes): constants from different work
+    # are not comparable
+    if not ref or any(k not in ref for k in _CAL_COMPONENTS):
         return None
     return ref
 
 
-def update_cal_ref(cpus: int, best_jvm: float, best_np: float) -> None:
+def update_cal_ref(cpus: int, session_best: dict) -> None:
     try:
         with open(_CAL_REF_PATH) as fh:
             ref = json.load(fh)
     except (OSError, ValueError):
         ref = {}
     cur = ref.get(str(cpus), {})
-    ref[str(cpus)] = {
-        "jvm_shuffle_s": min(best_jvm, cur.get("jvm_shuffle_s", best_jvm)),
-        "numpy_st_s": min(best_np, cur.get("numpy_st_s", best_np)),
-        "n_sessions": cur.get("n_sessions", 0) + 1,
+    entry = {
+        k: min(session_best[k], cur.get(k, session_best[k]))
+        for k in _CAL_COMPONENTS
     }
+    entry["n_sessions"] = cur.get("n_sessions", 0) + 1
+    ref[str(cpus)] = entry
     with open(_CAL_REF_PATH, "w") as fh:
         json.dump(ref, fh, indent=1)
 
 
 def annotate_noise(cal_points: list[dict], ref: dict | None) -> dict:
     """Add a per-probe noise factor = wall / baseline, per component;
-    ``factor`` is the max of the two. Baseline = min(session best,
+    ``factor`` is the max over components. Baseline = min(session best,
     cross-session min from BENCH_CALIBRATION_REF.json), so factor ≈ 1.0
     means a genuinely quiet window, not merely this session's quietest.
     Returns the baseline used (for the artifact)."""
-    best_jvm = min(p["jvm_shuffle_s"] for p in cal_points)
-    best_np = min(p["numpy_st_s"] for p in cal_points)
+    base = {k: min(p[k] for p in cal_points) for k in _CAL_COMPONENTS}
     if ref:
-        best_jvm = min(best_jvm, ref["jvm_shuffle_s"])
-        best_np = min(best_np, ref["numpy_st_s"])
+        for k in _CAL_COMPONENTS:
+            base[k] = min(base[k], ref[k])
     for p in cal_points:
-        p["factor"] = round(
-            max(p["jvm_shuffle_s"] / best_jvm, p["numpy_st_s"] / best_np), 2
-        )
-    return {"jvm_shuffle_s": best_jvm, "numpy_st_s": best_np,
-            "cross_session": bool(ref)}
+        p["factor"] = round(max(p[k] / base[k] for k in _CAL_COMPONENTS), 2)
+    return {**base, "cross_session": bool(ref)}
 
 
 def main() -> None:
@@ -241,8 +271,9 @@ def main() -> None:
     timings["kg_pipeline"] = statistics.median(walls)
     timings_best["kg_pipeline"] = min(walls)
     cal_baseline = annotate_noise(cal_points, load_cal_ref(cpus))
-    update_cal_ref(cpus, min(p["jvm_shuffle_s"] for p in cal_points),
-                   min(p["numpy_st_s"] for p in cal_points))
+    update_cal_ref(
+        cpus, {k: min(p[k] for p in cal_points) for k in _CAL_COMPONENTS}
+    )
     # a pipeline wall is flagged noisy when either bracketing probe saw a
     # degraded machine (>1.3x the session-best probe wall)
     probe_by_label = {p["at"]: p["factor"] for p in cal_points}
@@ -273,8 +304,10 @@ def main() -> None:
         "pipeline_walls_noisy": wall_flags,
         "calibration": {
             "probe": "fixed-work: 8M-row JVM shuffle (16 parts) + "
-                     "single-threaded 8M-float numpy sort (one discarded "
-                     "JIT-warmup probe first); factor = probe wall / baseline, where "
+                     "single-threaded 8M-float numpy sort (min-of-3) + "
+                     "mapInPandas python-worker spin, one discarded "
+                     "JIT-warmup probe first; factor = max over components "
+                     "of probe wall / baseline, where "
                      "baseline = min(session best, cross-session min for "
                      "this cpu count, BENCH_CALIBRATION_REF.json); a "
                      "measured wall bracketed by a probe with factor > 1.3 "
@@ -302,6 +335,19 @@ def main() -> None:
                 "ceiling_efficiency"
             ),
             "triples_per_sec_N": s.get("runs", {}).get("4", {}).get("triples_per_sec"),
+            "triples_per_sec_4N": s.get("runs", {}).get("16", {}).get("triples_per_sec"),
+        }
+    # amortization evidence: the same protocol at 4x the input
+    # (scripts/scaling_bench.py 8000000 --out BENCH_SCALING_8M.json)
+    big_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SCALING_8M.json")
+    if os.path.exists(big_path):
+        with open(big_path) as fh:
+            s = json.load(fh)
+        out["scaling_8m"] = {
+            "n_pages": s.get("n_pages"),
+            "job_efficiency_N_to_4N": s.get("job_scaling_efficiency"),
+            "job_efficiency_median": s.get("job_scaling_efficiency_median"),
             "triples_per_sec_4N": s.get("runs", {}).get("16", {}).get("triples_per_sec"),
         }
     spark.stop()

@@ -106,7 +106,6 @@ def calibrate(spark, label: str) -> dict:
     from pyspark.sql import functions as F  # noqa: F401
 
     n_parts = spark.sparkContext.defaultParallelism
-    t0 = time.time()
 
     def _spin(it):
         import pandas as pd
@@ -116,16 +115,24 @@ def calibrate(spark, label: str) -> dict:
                 {"s": [float(np.sort(pdf["v"].to_numpy(copy=True)).sum())]}
             )
 
-    (
-        spark.range(0, 1_000_000 * n_parts, 1, n_parts)
-        .selectExpr("cast(pmod(id * 2654435761, 1000003) as double) as v")
-        .mapInPandas(_spin, "s double")
-        .agg({"s": "sum"})
-        .collect()
-    )
-    pyw = round(time.time() - t0, 3)
+    # min-of-2: the first dispatch after a heavy pipeline run pays a
+    # one-off worker-pool penalty (observed 15.4s vs a 2.1s baseline
+    # right after a wall the NEXT pipeline run showed was a quiet
+    # window); the second rep runs against a re-warmed pool, so only
+    # sustained degradation keeps both reps slow.
+    py_reps = []
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(0, 1_000_000 * n_parts, 1, n_parts)
+            .selectExpr("cast(pmod(id * 2654435761, 1000003) as double) as v")
+            .mapInPandas(_spin, "s double")
+            .agg({"s": "sum"})
+            .collect()
+        )
+        py_reps.append(round(time.time() - t0, 3))
     return {"at": label, "jvm_shuffle_s": jvm, "numpy_st_s": min(reps),
-            "py_udf_s": pyw}
+            "py_udf_s": min(py_reps)}
 
 
 _CAL_REF_PATH = os.path.join(

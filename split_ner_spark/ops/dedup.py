@@ -204,6 +204,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_MINHASH,
     bands: int = N_BANDS,
     sh_arrays: DataFrame | None = None,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one signature band.
 
@@ -211,6 +212,15 @@ def minhash_lsh_pairs(
     (band_id, band_key) is the only shuffle, and its keys are uniform.
     Pass ``sh_arrays`` (from :func:`shingle_arrays`, ideally persisted) to
     share the tokenize+md5 pass with other consumers.
+
+    ``cleanup`` (round 6): when provided, the tiny banded frame
+    (doc_id, band_id, band_key — a few dozen bytes per doc) is cached and
+    appended to the list, so the self-join's broadcast-build side and its
+    probe side read ONE materialization instead of each re-running the
+    whole tokenize→md5→signature pipeline (the planner builds a broadcast
+    from one side, which otherwise duplicates the full upstream compute;
+    exchange reuse cannot help because the broadcast side's plan differs).
+    Same deferred-unpersist contract as :func:`lsh_verified_jaccard`.
     """
     rows = n_hashes // bands
     if sh_arrays is None:
@@ -236,6 +246,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    if cleanup is not None:
+        banded = banded.cache()
+        cleanup.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -357,7 +370,9 @@ def lsh_verified_jaccard(
     sh_arr = shingle_arrays(documents, k).cache()
     if cleanup is not None:
         cleanup.append(sh_arr)
-    cand = minhash_lsh_pairs(documents, k, n_hashes, bands, sh_arrays=sh_arr)
+    cand = minhash_lsh_pairs(
+        documents, k, n_hashes, bands, sh_arrays=sh_arr, cleanup=cleanup
+    )
     sh = shingle_rows(sh_arr)
     sizes = sh_arr.select("doc_id", F.size("sh").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle_hash")
@@ -478,20 +493,47 @@ def simhash_values(documents: DataFrame, bits: int = SIMHASH_PAIR_BITS) -> DataF
 
     The int form makes downstream hamming a single ``bit_count(xor)``
     instead of a character-array fold — the representation you actually
-    ship at 10^12 docs (64-bit fingerprints in practice)."""
+    ship at 10^12 docs (64-bit fingerprints in practice).
+
+    Round-6 optimization (guide §2.3 "narrower types" / §1.2 per-task
+    work): bit j of a token == high bit of md5 hex digit j. Instead of 32
+    ``substring(h, j, 1) IN ('8'..'f')`` string probes per token (32
+    string allocations + set membership each), the digits are parsed ONCE
+    into four 32-bit integer chunks (``conv(substr, 16, 10)``) and each
+    bit is a codegen'd shift-and-mask; ``sum(bit)`` relates to the old
+    ``sum(±1)`` by s_j = 2*sum(bit_j) - n_tokens, so the sign test
+    ``s_j > 0`` becomes ``2*sum(bit_j) > n`` — integer-exact, identical
+    output."""
     tok = F.explode(ws_tokens()).alias("token")
-    exploded = documents.select("doc_id", tok).withColumn("h", F.md5("token"))
+    chunks = bits // 8
+    # md5 through its own Generate barrier (same pattern as
+    # shingle_arrays): projection collapse would otherwise inline the md5
+    # into all four chunk expressions and hash every token 4x
+    exploded = (
+        documents.select("doc_id", tok)
+        .select("doc_id", F.explode(F.array(F.md5("token"))).alias("h"))
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", 8 * k + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"c{k}")
+                for k in range(chunks)
+            ],
+        )
+    )
     aggs = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*_HI), 1).otherwise(-1)
-        ).alias(f"s{j}")
+            F.shiftright(F.col(f"c{j // 8}"), 31 - 4 * (j % 8)).bitwiseAND(F.lit(1))
+        ).alias(f"b{j}")
         for j in range(bits)
-    ]
+    ] + [F.count(F.lit(1)).alias("_n")]
     v = None
     for j in range(bits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << (bits - 1 - j)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            F.col(f"b{j}") * 2 > F.col("_n"),
+            F.lit(1 << (bits - 1 - j)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         v = bit if v is None else v + bit
     return exploded.groupBy("doc_id").agg(*aggs).select(
         "doc_id", v.alias("simhash_v")
@@ -549,21 +591,45 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "simhash_v", "band.band_id", "band.band_key")
+    # Round-6 optimization: the old plan deduplicated multi-band matches
+    # with ``.distinct()`` — at near-dup-heavy corpora the candidate join
+    # emits O(sum n_bucket^2) rows (measured 1.5e9 at ~50k docs) and the
+    # distinct hash-aggregated ~10^8 surviving rows (spill + a full
+    # shuffle of the quadratic-sized pair set). Instead, each pair is
+    # emitted ONLY from its lowest-index matching band: for bands
+    # b' < band_id the xor must be nonzero within band b' (band b'
+    # DIDN'T match). The pigeonhole guarantee (>=1 matching band) plus
+    # this canonical-band rule yields every qualifying pair EXACTLY once,
+    # so the distinct (and its shuffle) disappear from the plan; the
+    # band-equality semantics and the output SET are unchanged. The join
+    # strategy is left to the planner: a broadcast build spreads a hot
+    # band-key's quadratic probe output across every scan partition,
+    # whereas forcing a shuffled join would funnel the hot key's entire
+    # n^2 output through ONE reducer (measured 3x slower on a corpus
+    # whose hottest (band,key) held 2/3 of the docs — AQE cannot split
+    # it because the skew is in join OUTPUT, not shuffle bytes).
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash_v").bitwiseXOR(F.col("b.simhash_v"))
-    ).cast("int")
-    return (
+    xor = F.col("a.simhash_v").bitwiseXOR(F.col("b.simhash_v"))
+    hamming = F.bit_count(xor).cast("int")
+    first_band = None
+    for bb in range(n_bands - 1):
+        prior_differs = (F.col("band_id") <= bb) | (
+            F.shiftright(xor, bb * width).bitwiseAND(F.lit(mask)) != 0
+        )
+        first_band = (
+            prior_differs if first_band is None else first_band & prior_differs
+        )
+    out = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
+    if first_band is not None:
+        out = out.filter(first_band)
+    return out.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        hamming.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_pairs_sql(

@@ -57,29 +57,78 @@ RP_BANDS = 8  # OR-ed bands: a pair is a candidate if ANY band matches
 RP_PROBES = 1
 
 
-def _dot(a: str | Column, b: str | Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+# --- vector arithmetic -------------------------------------------------------
+#
+# Round-6 optimization (guide §4.1 "prefer built-ins"): the original
+# implementation used higher-order functions (``aggregate``/``zip_with``)
+# for dot products and norms. Higher-order functions are CodegenFallback
+# in Spark — every candidate pair paid an *interpreted* 64-element fold,
+# and because the cosine expression was inlined into join conditions, each
+# side's norm was re-evaluated per PAIR (4x in the guard + division).
+#
+# The replacements below unroll the fold into an explicit left-associated
+# arithmetic chain over ``element_at``/``get`` terms, which whole-stage
+# codegen compiles to straight-line JVM arithmetic. The results are
+# BITWISE-IDENTICAL to the folds for every vector of length ≤ ``dim``:
+#  - the term order and associativity are exactly the fold's
+#    (((0.0 + t1) + t2) + ...), and
+#  - padding terms past the actual array length add literal 0.0, which is
+#    an IEEE no-op here: the running sum can never be -0.0 (it starts at
+#    +0.0, and (+0.0) + (-0.0) = +0.0), so x + 0.0 == x bitwise; a
+#    length mismatch (zip_with null-padding) yields NULL through the same
+#    null-propagating ``get``-based terms.
+# Vectors LONGER than ``dim`` are outside the engine contract (EMB_DIM is
+# already baked into the RP-LSH hyperplane weights); callers with wider
+# embeddings must raise ``dim``.
 
 
-def _norm(a: str | Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
+def _dot(a: str | Column, b: str | Column, dim: int = EMB_DIM) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    n = F.greatest(F.size(a), F.size(b))
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        term = F.when(
+            F.lit(i) < n, F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        ).otherwise(F.lit(0.0))
+        acc = acc + term
+    # NULL-array guard: the fold returned NULL when both inputs were NULL
+    # (size → NULL makes every padded term hit the 0.0 branch otherwise);
+    # one outer CASE restores that without per-term cost. A single NULL
+    # side already propagates through the ``get`` terms.
+    return F.when(n.isNull(), F.lit(None).cast("double")).otherwise(acc)
 
 
-def cosine(a: str | Column, b: str | Column) -> Column:
+def _norm_sq(a: str | Column, dim: int = EMB_DIM) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    n = F.size(a)
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        x = F.get(a, i).cast("double")
+        acc = acc + F.when(F.lit(i) < n, x * x).otherwise(F.lit(0.0))
+    # NULL-array guard (see _dot)
+    return F.when(n.isNull(), F.lit(None).cast("double")).otherwise(acc)
+
+
+def _norm(a: str | Column, dim: int = EMB_DIM) -> Column:
+    return F.sqrt(_norm_sq(a, dim))
+
+
+def cosine(a: str | Column, b: str | Column, dim: int = EMB_DIM) -> Column:
     # zero-norm guard: a zero vector (failed encode, padding row) has no
     # direction — define its similarity as 0.0 instead of letting ANSI
     # mode throw on 0/0 and kill the whole scan (fuzz_oracle class; the
     # SQL twin mirrors the same CASE, keeping rank order engine-equal)
-    denom = _norm(a) * _norm(b)
-    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+    denom = _norm(a, dim) * _norm(b, dim)
+    return F.when(denom > 0, _dot(a, b, dim) / denom).otherwise(F.lit(0.0))
+
+
+def _cosine_from_norms(
+    a: str | Column, b: str | Column, na: Column, nb: Column, dim: int = EMB_DIM
+) -> Column:
+    """``cosine`` with the per-side norms precomputed per ROW (before a
+    pair join) instead of per pair — same expression, same values."""
+    denom = na * nb
+    return F.when(denom > 0, _dot(a, b, dim) / denom).otherwise(F.lit(0.0))
 
 
 _DOT_SQL = (
@@ -109,10 +158,12 @@ def cosine_topk(
     neighbor asc).
     """
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("_qn"),
     )
     c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        _norm("embedding").alias("_cn"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -120,7 +171,10 @@ def cosine_topk(
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cosine_sim")
+            "query_id", "neighbor_id",
+            _cosine_from_norms(
+                "q_emb", "c_emb", F.col("_qn"), F.col("_cn")
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -176,10 +230,12 @@ def lsh_cosine_topk(
     """
     withb = embeddings.withColumn("bucket", _sign_bucket("embedding", bits))
     q = withb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"),
+        "bucket", _norm("embedding").alias("_qn"),
     )
     c = withb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"),
+        "bucket", _norm("embedding").alias("_cn"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -188,7 +244,10 @@ def lsh_cosine_topk(
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cosine_sim")
+            "query_id", "neighbor_id",
+            _cosine_from_norms(
+                "q_emb", "c_emb", F.col("_qn"), F.col("_cn")
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -238,6 +297,13 @@ def _rp_weight(j: int, i: int) -> float:
 
 
 def _rp_dot(emb: str | Column, j: int, dim: int = EMB_DIM) -> Column:
+    # Deliberately kept as the interpreted zip_with fold: this is per-ROW
+    # work (bands*bits = 32 folds per vector), and unrolling all of them
+    # exceeds janino's 64 KB method limit, which forces the WHOLE stage to
+    # the interpreted fallback (measured 5x slower than the fold). The
+    # per-row cost is paid once per vector and parallelizes with the
+    # round-6 scan fan-out; the per-PAIR scoring path uses the unrolled
+    # ``_dot`` instead (one expression per operator — compiles fine).
     w = F.array(*[F.lit(_rp_weight(j, i)) for i in range(dim)])
     return F.aggregate(
         F.zip_with(emb, w, lambda x, y: x.cast("double") * y),
@@ -327,6 +393,7 @@ def rp_lsh_candidates(
     banded = embeddings.select(
         F.col("vec_id"),
         F.col("embedding"),
+        _norm("embedding", dim).alias("_nrm"),
         F.explode(
             F.array(
                 *[
@@ -338,11 +405,12 @@ def rp_lsh_candidates(
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_id", "band.bucket")
+    ).select("vec_id", "embedding", "_nrm", "band.band_id", "band.bucket")
     flip_sets = _probe_flip_sets(bits, probes)
     q = banded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("_nrm").alias("_qn"),
         "band_id",
         F.explode(
             F.array(*[_flip_bucket(F.col("bucket"), ps, bits) for ps in flip_sets])
@@ -351,13 +419,14 @@ def rp_lsh_candidates(
     c = banded.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        F.col("_nrm").alias("_cn"),
         "band_id",
         "bucket",
     )
     return (
         c.join(F.broadcast(q), ["band_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .select("query_id", "q_emb", "neighbor_id", "c_emb", "_qn", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
@@ -399,7 +468,10 @@ def rp_lsh_topk(
     )
     return (
         cand.select(
-            "query_id", "neighbor_id", cosine("q_emb", "c_emb").alias("cosine_sim")
+            "query_id", "neighbor_id",
+            _cosine_from_norms(
+                "q_emb", "c_emb", F.col("_qn"), F.col("_cn"), dim
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
@@ -493,7 +565,8 @@ def embedding_near_dup_pairs(
     within buckets. Completes the dedup ladder at the semantic level.
     """
     withb = embeddings.select(
-        "vec_id", "embedding", _sign_bucket("embedding", bits).alias("bucket")
+        "vec_id", "embedding", _sign_bucket("embedding", bits).alias("bucket"),
+        _norm("embedding").alias("_nrm"),
     )
     a, b = withb.alias("a"), withb.alias("b")
     return (
@@ -502,7 +575,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine_sim"),
+            _cosine_from_norms(
+                F.col("a.embedding"), F.col("b.embedding"),
+                F.col("a._nrm"), F.col("b._nrm"),
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

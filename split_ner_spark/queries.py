@@ -47,8 +47,61 @@ TABLES = [
 ]
 
 
+# Scan fan-out (optimization round 6, guide §2.5 "input skew — one huge
+# unsplittable file"): the test tables are single parquet files written as
+# one (or very few) row groups, so Spark's scan gives ONE task per row
+# group regardless of maxPartitionBytes — every compute-heavy map side
+# (regex tokenize + md5 shingles, RP-LSH projections, simhash aggregation)
+# ran on 1-2 cores of 32 (measured: dedup_minhash_lsh 67s at ~50k docs,
+# all stages "(0+1)/1"). The remedy is the guide's: repartition right
+# after the read — but only when the scan is actually under-parallel
+# (row groups < half the cores) and the table is big enough for the
+# shuffle to pay (≥256 KiB; smaller dims are broadcast-joined anyway).
+# At production scale the input is many ≥128 MiB files → row groups ≫
+# cores → this is a structural no-op, so nothing here is tuned to
+# local[32]; the footer inspection is skipped entirely past 1 GiB.
+_FAN_OUT_MIN_BYTES = 256 * 1024
+_FAN_OUT_MAX_BYTES = 1024**3
+
+
+def _scan_layout(path: str) -> tuple[int, int]:
+    """(total_bytes, total_row_groups) of a parquet file/directory,
+    driver-side footer metadata only (no Spark job)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    if os.path.isdir(path):
+        for root, _d, fs in os.walk(path):
+            files.extend(os.path.join(root, f) for f in fs
+                         if f.endswith(".parquet"))
+    else:
+        files = [path]
+    total = sum(os.path.getsize(f) for f in files)
+    if total >= _FAN_OUT_MAX_BYTES:
+        # big input: scan splits provide parallelism; do not touch footers
+        return total, 1 << 30
+    rgs = 0
+    for f in files:
+        try:
+            rgs += pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:
+            rgs += 1
+    return total, max(rgs, 1)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    try:
+        nbytes, row_groups = _scan_layout(path)
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if _FAN_OUT_MIN_BYTES <= nbytes < _FAN_OUT_MAX_BYTES and row_groups * 2 <= cores:
+        df = df.repartition(cores)
+    return df
 
 
 # Deferred cache cleanup. A few operators (dedup.lsh_verified_jaccard,
@@ -707,7 +760,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    """Banded-frame cache registered for deferred unpersist (round 6):
+    one signature-pipeline pass instead of one per self-join side."""
+    return dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), cleanup=_DEFERRED_UNPERSIST
+    )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,7 +796,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive-CTE oracle in DuckDB."""
     from .ops.canon import connected_components
 
-    pairs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), cleanup=_DEFERRED_UNPERSIST
+    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), F.col("component").alias("component_id")

@@ -76,9 +76,13 @@ def test_cooccurrence_single_shuffle(spark):
 def test_x6_single_shuffle(spark):
     """X6 pattern mining: zero shuffle before the single final hash
     aggregate — the whole window grid is array transforms in one
-    projection (PLANS.md)."""
+    projection (PLANS.md). The round-6 scan fan-out (queries.load: an
+    explicit round-robin repartition when the input is an unsplittable
+    small file) is the one additional allowed Exchange; the contract here
+    is about HASH exchanges introduced by the operator itself."""
     p = plan_of(Q.q_kg_mention_contexts(spark, SF_DIR))
-    assert p.count("Exchange") == 1, p[:2000]
+    assert p.count("Exchange hashpartitioning") == 1, p[:2000]
+    assert p.count("Exchange") <= 2, p[:2000]
 
 
 def test_salted_write_no_join(spark):

@@ -35,22 +35,31 @@ PERSON_LAST = [
 ]
 UNKNOWN = "unknown"
 
+# hot-path constant forms (round 6): str.endswith takes a tuple natively
+# and set membership is O(1) — same decisions as the list forms above,
+# which stay the single source of truth for the SQL twins.
+_CORP_SUFFIX_T = tuple(CORP_SUFFIX)
+_LOC_SUFFIX_S = frozenset(LOC_SUFFIX)
+_LOC_GAZ_S = frozenset(LOC_GAZ)
+_GROUP_SUFFIX_S = frozenset(GROUP_SUFFIX)
+_PERSON_LAST_S = frozenset(PERSON_LAST)
+
 
 def classify_surface(surface: str) -> str:
     """Pure-Python spec of the typing rules (test oracle)."""
     toks = surface.split(" ")
     last, first = toks[-1], toks[0]
-    if any(last.endswith(s) for s in CORP_SUFFIX):
+    if last.endswith(_CORP_SUFFIX_T):
         return "corporation"
-    if last in LOC_SUFFIX or surface in LOC_GAZ:
+    if last in _LOC_SUFFIX_S or surface in _LOC_GAZ_S:
         return "location"
     if any(c.isdigit() for c in surface):
         return "product"
-    if last in GROUP_SUFFIX:
+    if last in _GROUP_SUFFIX_S:
         return "group"
     if first == "The":
         return "creative-work"
-    if last in PERSON_LAST:
+    if last in _PERSON_LAST_S:
         return "person"
     return UNKNOWN
 

@@ -100,8 +100,8 @@ def fused_mentions(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
-            for pid in pdf["id"]:
-                page = corpus._gen_page(int(pid), registry, seed)
+            for pid in pdf["id"].tolist():
+                page = corpus._gen_page(pid, registry, seed)
                 rows.extend(_mentions_for_page(page, scorer))
             yield pd.DataFrame(
                 rows,

@@ -98,24 +98,42 @@ def make_triples(
     """linked mentions(url, sent_id, ..., entity_type, canonical_id) →
     triples(subj, pred, obj). ``observation`` is threaded to
     :func:`cooccurrence_pairs` to count cap-exceeding sentences."""
+    # The three predicates ride through the union-level distinct as a
+    # 1-byte code instead of their string names (round 6, guide §2.3
+    # "narrower types"): the distinct shuffles |mentions|*2 + |pairs|
+    # rows, and the constant 8-17 char pred string was ~15% of every
+    # shuffled row; the code is bijective with the name, so the distinct
+    # set is unchanged, and the name is re-attached AFTER the aggregate
+    # (measured ~30% off the make_triples wall at 8.3M mentions).
     typed = linked.filter(F.col("entity_type").isNotNull()).select(
         F.col("canonical_id").alias("subj"),
-        F.lit("typed_as").alias("pred"),
+        F.lit(0).cast("tinyint").alias("_p"),
         F.col("entity_type").alias("obj"),
     )
     mentioned = linked.select(
         F.col("canonical_id").alias("subj"),
-        F.lit("mentioned_in").alias("pred"),
+        F.lit(1).cast("tinyint").alias("_p"),
         F.col("url").alias("obj"),
+    )
+    cooccur = cooccurrence_pairs(linked, observation=observation).select(
+        "subj", F.lit(2).cast("tinyint").alias("_p"), "obj"
     )
     # one distinct over the union instead of one per branch: the branches
     # are disjoint by pred, so semantics are identical, but it is a single
     # shuffle instead of three (the co-occurrence branch keeps its inner
     # per-sentence dedup to bound the self-join fan-out).
+    pred_names = F.array(
+        F.lit("typed_as"), F.lit("mentioned_in"), F.lit("co_mentioned_with")
+    )
     return (
         typed.unionByName(mentioned)
-        .unionByName(cooccurrence_pairs(linked, observation=observation))
+        .unionByName(cooccur)
         .distinct()
+        .select(
+            "subj",
+            F.element_at(pred_names, F.col("_p") + 1).alias("pred"),
+            "obj",
+        )
     )
 
 
@@ -127,6 +145,8 @@ def salted_by_subject(
     sample_fraction: float = 0.05,
     hot_subjects: list | None = None,
     seed: int = 42,
+    detect_on: DataFrame | None = None,
+    detect_col: str = "subj",
 ) -> DataFrame:
     """Repartition triples by (subj, salt) where salt spreads heavy
     subjects across ``n_salts`` buckets; cold subjects keep one bucket.
@@ -146,22 +166,34 @@ def salted_by_subject(
     a streaming caller reuses the prior epoch's hot set (hot subjects
     are stable across crawl epochs).
 
+    ``detect_on``/``detect_col`` (round 6): run hot-key detection against
+    a DIFFERENT (typically already-materialized) frame — the pipeline
+    passes its cached ``linked`` mentions (col ``canonical_id``), whose
+    per-key counts are a faithful proxy for per-subject triple counts
+    (mentioned_in ∝ mentions, co-occurrence subjects are canonical ids).
+    This lets the caller skip caching the triple set solely for the
+    detection pass: the triples are then computed exactly once, inside
+    the write job. Salting is a partitioning heuristic, so a proxy
+    detection source changes no output values.
+
     Output VALUES are unchanged by any of this (salt is dropped);
     only the physical partitioning differs. Salt is a deterministic hash
     of the full triple, not a random()."""
     if hot_subjects is None:
+        det_frame = triples if detect_on is None else detect_on
+        det_col = "subj" if detect_on is None else detect_col
         # ≤ 1/hot_fraction subjects can each hold > hot_fraction of the
         # data; 4x headroom absorbs sample noise near the threshold
         cap = 4 * int(1.0 / hot_fraction) + 1
 
         def _detect(frac: float) -> tuple[int, list]:
             src = (
-                triples.sample(fraction=frac, seed=seed)
+                det_frame.sample(fraction=frac, seed=seed)
                 if frac < 1.0
-                else triples
+                else det_frame
             )
             counts = (
-                src.groupBy("subj")
+                src.groupBy(det_col)
                 .agg(F.count("*").alias("c"))
                 .cache()  # eagerly released below — never escapes this call
             )
@@ -175,7 +207,7 @@ def salted_by_subject(
                 )
             finally:
                 counts.unpersist()
-            return total, [r["subj"] for r in hot_rows]
+            return total, [r[det_col] for r in hot_rows]
 
         total, hot_subjects = _detect(sample_fraction)
         # Small-input guard (ADVICE r4): a hot subject at hot_fraction of

@@ -194,17 +194,23 @@ def run_pipeline(
             .select("url", "sent_id", "canonical_id", "entity_type")
             .cache()
         )
-        # cache the triple set too: the salting pass reads it once for
-        # heavy-hitter detection and once for the write
+        # round 6: hot-subject detection samples the already-cached
+        # ``linked`` frame (canonical_id counts ≈ per-subject triple
+        # counts — a partitioning heuristic, so output values are
+        # unchanged) instead of a cached triple set; make_triples then
+        # executes exactly ONCE, inside the write job, and the 7.5M-row
+        # triple cache materialization disappears from the wall.
         tri_built = not (resume and sc.is_committed("triples"))
         cooccur_obs = Observation("cooccur_cap") if tri_built else None
-        tri = make_triples(linked, observation=cooccur_obs).cache()
+        tri = make_triples(linked, observation=cooccur_obs)
         triples = sc.stage(
             "triples",
-            lambda: salted_by_subject(tri, triple_partitions),
+            lambda: salted_by_subject(
+                tri, triple_partitions,
+                detect_on=linked, detect_col="canonical_id",
+            ),
             resume,
         )
-        tri.unpersist()
         linked.unpersist()
         for _df in _link_cleanup:
             _df.unpersist()
@@ -238,9 +244,13 @@ def run_pipeline(
         cooccur_obs = Observation("cooccur_cap") if tri_built else None
         triples = sc.stage(
             "triples",
+            # detection on the committed linked table (round 6): sampling
+            # the triples frame itself would re-run make_triples for the
+            # sample pass
             lambda: salted_by_subject(
                 make_triples(linked, observation=cooccur_obs),
                 triple_partitions,
+                detect_on=linked, detect_col="canonical_id",
             ),
             resume,
         )

@@ -561,7 +561,10 @@ def _simhash_values_sql(doc_table: str, bits: int) -> str:
 
 
 def simhash_pairs(
-    documents: DataFrame, bits: int = SIMHASH_PAIR_BITS, max_hamming: int = 3
+    documents: DataFrame,
+    bits: int = SIMHASH_PAIR_BITS,
+    max_hamming: int = 3,
+    cleanup: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ d, via pigeonhole banding.
 
@@ -569,13 +572,49 @@ def simhash_pairs(
     exactly on ≥1 band (pigeonhole), so the band equi-join is a lossless
     candidate generator and the exact ``bit_count(xor)`` filter verifies.
     No cross join anywhere — the plan that survives 10^12 docs.
-    """
+
+    Round-6 rewrite, output-identical (the result is exactly
+    {(a, b, hamming(v_a, v_b)) : a < b, hamming ≤ d} and hamming depends
+    only on the fingerprints, so the banding is a pure candidate
+    generator):
+
+    1. The band self-join runs over DISTINCT fingerprints, not documents
+       — on a near-dup-heavy corpus the doc-level join emitted
+       O(sum n_bucket^2) = 1.5e9 candidate rows for ~50k docs, the
+       value-level join 5.7x fewer. Each qualifying unordered VALUE pair
+       (incl. v with itself) is emitted exactly once: lowest-matching-
+       band rule (for bands b' < band_id the xor within b' must be
+       nonzero; pigeonhole guarantees ≥1 match), which also removes the
+       old quadratic-sized ``.distinct()`` shuffle entirely.
+    2. Qualifying value pairs (a tiny frame bounded by the true near-dup
+       structure) are then expanded to doc pairs with two joins against
+       the (doc_id, simhash_v) frame: probe doc a picks up its partner
+       values, then partner docs b with a < b — each output pair appears
+       exactly once (see the per-case argument in OPTIMIZATION_r06.md),
+       and the probe rows stay evenly spread, so a hot fingerprint's
+       quadratic expansion is balanced across tasks instead of landing
+       on one reducer.
+
+    ``cleanup``: same deferred-unpersist contract as the other dedup
+    operators — when provided, the small (doc_id, simhash_v) frame is
+    cached so the three consumers (distinct values, expansion probe,
+    expansion build) share one simhash aggregation."""
     n_bands = max_hamming + 1
     width = bits // n_bands
     mask = (1 << width) - 1
-    sh = simhash_values(documents, bits)
-    banded = sh.select(
-        "doc_id",
+    sv = simhash_values(documents, bits)
+    if cleanup is not None:
+        sv = sv.cache()
+        cleanup.append(sv)
+    # Explicit fan-out of the probe side: AQE rightly coalesces the tiny
+    # post-distinct shuffle (28k fingerprints ≈ <1 MiB) down to 1-2
+    # partitions — but this operator's OUTPUT is quadratic in bucket
+    # sizes, so the coalesced probe ran its ~10^8-row expansion on 1-2
+    # cores (measured 12.6s for the value join; the per-partition cost
+    # here is proportional to join OUTPUT, which AQE cannot see).
+    cores = documents.sparkSession.sparkContext.defaultParallelism
+    vals = sv.select("simhash_v").distinct().repartition(cores)
+    banded = vals.select(
         "simhash_v",
         F.explode(
             F.array(
@@ -590,26 +629,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "simhash_v", "band.band_id", "band.band_key")
-    # Round-6 optimization: the old plan deduplicated multi-band matches
-    # with ``.distinct()`` — at near-dup-heavy corpora the candidate join
-    # emits O(sum n_bucket^2) rows (measured 1.5e9 at ~50k docs) and the
-    # distinct hash-aggregated ~10^8 surviving rows (spill + a full
-    # shuffle of the quadratic-sized pair set). Instead, each pair is
-    # emitted ONLY from its lowest-index matching band: for bands
-    # b' < band_id the xor must be nonzero within band b' (band b'
-    # DIDN'T match). The pigeonhole guarantee (>=1 matching band) plus
-    # this canonical-band rule yields every qualifying pair EXACTLY once,
-    # so the distinct (and its shuffle) disappear from the plan; the
-    # band-equality semantics and the output SET are unchanged. The join
-    # strategy is left to the planner: a broadcast build spreads a hot
-    # band-key's quadratic probe output across every scan partition,
-    # whereas forcing a shuffled join would funnel the hot key's entire
-    # n^2 output through ONE reducer (measured 3x slower on a corpus
-    # whose hottest (band,key) held 2/3 of the docs — AQE cannot split
-    # it because the skew is in join OUTPUT, not shuffle bytes).
-    a, b = banded.alias("a"), banded.alias("b")
-    xor = F.col("a.simhash_v").bitwiseXOR(F.col("b.simhash_v"))
+    ).select("simhash_v", "band.band_id", "band.band_key")
+    u, w = banded.alias("u"), banded.alias("w")
+    xor = F.col("u.simhash_v").bitwiseXOR(F.col("w.simhash_v"))
     hamming = F.bit_count(xor).cast("int")
     first_band = None
     for bb in range(n_bands - 1):
@@ -619,17 +641,45 @@ def simhash_pairs(
         first_band = (
             prior_differs if first_band is None else first_band & prior_differs
         )
-    out = (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    vp = (
+        u.join(w, ["band_id", "band_key"])
+        .filter(F.col("u.simhash_v") <= F.col("w.simhash_v"))
     )
     if first_band is not None:
-        out = out.filter(first_band)
-    return out.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
+        vp = vp.filter(first_band)
+    vp = vp.select(
+        F.col("u.simhash_v").alias("v1"),
+        F.col("w.simhash_v").alias("v2"),
         hamming.alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+    # symmetric partner table: probe doc a must see partners in both
+    # directions; the (v, v) self-pair appears once
+    vp_sym = vp.select(
+        F.col("v1").alias("v_a"), F.col("v2").alias("v_b"), "hamming"
+    ).unionByName(
+        vp.filter(F.col("v1") != F.col("v2")).select(
+            F.col("v2").alias("v_a"), F.col("v1").alias("v_b"), "hamming"
+        )
+    ).repartition(cores)  # same output-explosion argument as ``vals``
+    # broadcast the doc→fingerprint frame (|docs| rows, two slim columns)
+    # into both expansion joins — the value-pair frame is the probe side
+    # (its row count scales with the near-dup structure and is NOT
+    # broadcastable in general), so the quadratic expansion output stays
+    # evenly spread over the probe partitions
+    sv_a = sv.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash_v").alias("v_a")
+    )
+    sv_b = sv.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash_v").alias("v_b")
+    )
+    step1 = vp_sym.join(F.broadcast(sv_a), "v_a").select(
+        "doc_a", "v_b", "hamming"
+    )
+    return (
+        step1.join(F.broadcast(sv_b), "v_b")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def simhash_pairs_sql(

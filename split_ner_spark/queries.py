@@ -790,7 +790,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(
+        load(spark, sf_dir, "documents"), cleanup=_DEFERRED_UNPERSIST
+    )
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -108,7 +108,9 @@ def test_lsh_verified_jaccard_cleanup_releases_cache(spark):
     before = storage_ids()  # other fixtures may hold RDD-level caches
     out = lsh_verified_jaccard(docs, cleanup=cleanup)
     n = out.count()  # materialize (shingle frame now cached + used)
-    assert n > 0 and len(cleanup) == 1
+    # round 6: the operator registers TWO frames — the shared shingle
+    # arrays and the minhash banded frame (minhash_lsh_pairs cleanup)
+    assert n > 0 and len(cleanup) == 2
     for df in cleanup:
         df.unpersist(blocking=True)
     leaked = storage_ids() - before

@@ -48,14 +48,17 @@ def main() -> int:
         # an oracle twin and be swept — a silent drop (round 4 lost
         # multimodal_features when the registry hit 51 entries) fails
         # loudly here instead of surfacing as a missing CORRECTNESS row.
-        assert set(ORACLES) == set(QUERIES), (
-            f"registry/oracle mismatch: only-in-QUERIES="
-            f"{sorted(set(QUERIES) - set(ORACLES))} only-in-ORACLES="
-            f"{sorted(set(ORACLES) - set(QUERIES))}"
-        )
-        assert len(names) == len(QUERIES), (
-            f"sweep covers {len(names)} of {len(QUERIES)} registered queries"
-        )
+        # raise, not assert: the gate must survive `python -O` (ADVICE r5)
+        if set(ORACLES) != set(QUERIES):
+            raise SystemExit(
+                f"registry/oracle mismatch: only-in-QUERIES="
+                f"{sorted(set(QUERIES) - set(ORACLES))} only-in-ORACLES="
+                f"{sorted(set(ORACLES) - set(QUERIES))}"
+            )
+        if len(names) != len(QUERIES):
+            raise SystemExit(
+                f"sweep covers {len(names)} of {len(QUERIES)} registered queries"
+            )
         print(f"sweeping ALL {len(names)} registered queries")
 
     from pyspark.sql import SparkSession

@@ -215,8 +215,13 @@ def salted_by_subject(
         # times in the sample; below ~1/(hot_fraction*sample_fraction)
         # rows that expectation drops under 1 and the sample can miss a
         # genuinely hot key (or be empty), silently disabling the salting
-        # this function exists for on micro-batches / low-SF runs. Exact
-        # counting at that size is cheap by construction.
+        # this function exists for on micro-batches / low-SF runs. The
+        # threshold compares the SAMPLED total against the full-data
+        # bound 1/(hot_fraction*sample_fraction) — deliberately ~20x more
+        # conservative than the sampled-domain equivalent (ADVICE r5):
+        # near the boundary the exact re-count costs one extra groupBy
+        # over a few tens of thousands of rows, which is cheap insurance
+        # against a missed hot key.
         if sample_fraction < 1.0 and total < 1.0 / (hot_fraction * sample_fraction):
             total, hot_subjects = _detect(1.0)
     if hot_subjects:

@@ -138,7 +138,12 @@ class _DeferredCache:
                 try:
                     df.unpersist()
                 except Exception:
-                    pass  # session already stopped — nothing left to free
+                    # swallow ONLY the stopped-session case (nothing left
+                    # to free there); a failing unpersist on a LIVE
+                    # session is a real error and must surface (ADVICE r5)
+                    sc = getattr(df.sparkSession, "_sc", None)
+                    if sc is not None and getattr(sc, "_jsc", None) is not None:
+                        raise
                 n += 1
         return n
 

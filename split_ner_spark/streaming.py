@@ -161,8 +161,24 @@ def first_seen_pages(
         # the same idle horizon as every other key, and for live keys it
         # is the more natural idle semantics (idle = no data for this key
         # for idle_timeout past its last event, floored by the watermark).
-        anchor = max(state.getCurrentWatermarkMs(), max_ts_ms)
-        state.setTimeoutTimestamp(anchor + idle_timeout_ms)
+        # Poison-timestamp clamp (ADVICE r5): a corrupt far-FUTURE warc_ts
+        # would otherwise anchor this key's timeout arbitrarily far ahead
+        # and its dedup state would never evict. Clamp the event anchor to
+        # batch processing time + one idle horizon — normal (historical)
+        # event times pass through unchanged, so the watermark-0
+        # first-batch behavior the soak test pinned is preserved. The
+        # watermark floor stays (a key must never time out behind the
+        # watermark).
+        bound = state.getCurrentProcessingTimeMs() + idle_timeout_ms
+        anchor = max(state.getCurrentWatermarkMs(), min(max_ts_ms, bound))
+        timeout = anchor + idle_timeout_ms
+        # Monotonicity: an invocation fed only LATE rows (max event time
+        # below a previously seen one) must not pull an already-promised
+        # timeout earlier.
+        prev = state.oldTimeoutTimestamp
+        if prev != GroupState.NO_TIMESTAMP:
+            timeout = max(timeout, prev)
+        state.setTimeoutTimestamp(timeout)
         if out:
             yield pd.DataFrame(out, columns=[
                 "host", "url", "warc_ts", "text", "lang"

@@ -71,3 +71,18 @@ def test_entry_contract(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_registry_order_sweep_invariant():
+    """Executable form of the registry-order mitigation (VERDICT r5 #1):
+    a driver sweep that records only the first 50 entries must drop at
+    most the derived ``ann_recall`` row — every hash-checked query sits
+    in the first 50, and a future append that would silently displace a
+    checked row fails here instead of in the driver's artifact."""
+    names = list(QUERIES)
+    assert len(names) - 50 <= 1, (
+        f"registry has {len(names)} entries; a 50-row sweep would drop "
+        f"{names[50:]}"
+    )
+    if len(names) > 50:
+        assert names[-1] == "ann_recall", names[-1]

@@ -82,6 +82,38 @@ def gen_embeddings(out: str, n: int, seed: int = 11, dim: int = 64) -> None:
     pq.write_table(tbl, os.path.join(out, "embeddings.parquet"))
 
 
+def replicate_tpc(out: str, src: str = "/root/testdata/sf0.1",
+                  factor: int = 10) -> None:
+    """Scale-replicate the TPC-ish/events tables by concatenating
+    ``factor`` key-shifted copies of the sf0.1 originals (distributions
+    preserved, join keys kept consistent across tables). Measurement-only."""
+    import pyarrow.compute as pc
+
+    key_cols = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for t in ("nation", "region"):
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"),
+                       os.path.join(out, f"{t}.parquet"))
+    for t, keys in key_cols.items():
+        base = pq.read_table(f"{src}/{t}.parquet")
+        offs = {k: pc.max(base.column(k)).as_py() + 1 for k in keys}
+        copies = [base]
+        for i in range(1, factor):
+            tbl = base
+            for k in keys:
+                idx = tbl.schema.get_field_index(k)
+                shifted = pc.add(tbl.column(k), offs[k] * i)
+                tbl = tbl.set_column(idx, k, shifted.cast(tbl.schema.field(k).type))
+            copies.append(tbl)
+        pq.write_table(pa.concat_tables(copies), os.path.join(out, f"{t}.parquet"))
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/bigdata/sf1"
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
@@ -89,4 +121,5 @@ if __name__ == "__main__":
     os.makedirs(out, exist_ok=True)
     gen_documents(out, n_docs)
     gen_embeddings(out, n_vecs)
-    print(f"wrote {out}: documents={n_docs}, embeddings={n_vecs}")
+    replicate_tpc(out)
+    print(f"wrote {out}: documents={n_docs}, embeddings={n_vecs}, tpc x10")

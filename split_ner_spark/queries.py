@@ -62,6 +62,13 @@ TABLES = [
 # local[32]; the footer inspection is skipped entirely past 1 GiB.
 _FAN_OUT_MIN_BYTES = 256 * 1024
 _FAN_OUT_MAX_BYTES = 1024**3
+# Only the unstructured-payload tables whose consumers run heavy per-row
+# compute (regex tokenize, md5 shingles, vector folds) benefit; for the
+# columnar scan-agg fact tables (lineitem/orders/events) the extra
+# round-robin exchange costs more than the map-side parallelism it buys
+# (measured: pricing_summary 0.45->0.67s, events_sessionize 0.2->0.96s
+# at 10x sf0.1), and their aggregates/windows shuffle-repartition anyway.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
 
 
 def _scan_layout(path: str) -> tuple[int, int]:
@@ -94,6 +101,8 @@ def _scan_layout(path: str) -> tuple[int, int]:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if name not in _FAN_OUT_TABLES:
+        return df
     try:
         nbytes, row_groups = _scan_layout(path)
     except OSError:

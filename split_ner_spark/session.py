@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # round-6 note: raising adaptive.coalescePartitions.initialPartitionNum
+        # to 4x cores was tried and REVERTED — it reproducibly doubled the
+        # cached-intermediate dedup queries (AQE coalesces the small
+        # upstream aggregations differently, starving downstream probes)
+        # while the 20M-page pipeline delta stayed inside hypervisor
+        # noise. Shuffle width therefore stays at the configured
+        # shuffle_partitions with AQE coalescing below it.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")

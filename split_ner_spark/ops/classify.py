@@ -53,7 +53,7 @@ def classify_surface(surface: str) -> str:
         return "corporation"
     if last in _LOC_SUFFIX_S or surface in _LOC_GAZ_S:
         return "location"
-    if any(c.isdigit() for c in surface):
+    if any(map(str.isdigit, surface)):
         return "product"
     if last in _GROUP_SUFFIX_S:
         return "group"

@@ -665,18 +665,31 @@ def simhash_pairs(
     # into both expansion joins — the value-pair frame is the probe side
     # (its row count scales with the near-dup structure and is NOT
     # broadcastable in general), so the quadratic expansion output stays
-    # evenly spread over the probe partitions
+    # evenly spread over the probe partitions. The hint is CONDITIONAL on
+    # the optimizer's size estimate of the input (cached intermediates
+    # have no useful stats, so without the hint the local planner picked
+    # a sort-merge join): past ~the broadcast budget the hint is dropped
+    # and the planner's shuffle equi-join takes over — the expansion
+    # shape itself is scale-valid either way.
+    try:
+        est_bytes = int(
+            documents._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 0
+    def _maybe_broadcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if 0 < est_bytes < 512 * 1024 * 1024 else df
     sv_a = sv.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash_v").alias("v_a")
     )
     sv_b = sv.select(
         F.col("doc_id").alias("doc_b"), F.col("simhash_v").alias("v_b")
     )
-    step1 = vp_sym.join(F.broadcast(sv_a), "v_a").select(
+    step1 = vp_sym.join(_maybe_broadcast(sv_a), "v_a").select(
         "doc_a", "v_b", "hamming"
     )
     return (
-        step1.join(F.broadcast(sv_b), "v_b")
+        step1.join(_maybe_broadcast(sv_b), "v_b")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "hamming")
     )

@@ -66,15 +66,19 @@ def _mentions_for_page(page: dict, scorer: DeterministicScorer) -> list[tuple]:
         return []
     toks = tokenize_fast(extract_text(None, page["text"]))
     out = []
-    for sid, sent in enumerate(segment(toks)):
-        labels = scorer.detect_labels([sent])[0]
+    sents = segment(toks)
+    # one scorer call per PAGE (the scorer API is batched; a real model
+    # forward amortizes the same way) — same labels per sentence
+    all_labels = scorer.detect_labels(sents)
+    url = page["url"]
+    for sid, (sent, labels) in enumerate(zip(sents, all_labels)):
         score = round(
             1.0 - 1.0 / (2.0 + sum(1 for x in labels if x != "O")), 6
         )
         for s, e in get_spans_bioes(labels):
             surface = " ".join(sent[s : e + 1])
             out.append(
-                (page["url"], sid, s, e, surface, score, classify_surface(surface))
+                (url, sid, s, e, surface, score, classify_surface(surface))
             )
     return out
 

@@ -75,6 +75,15 @@ FILLERS_OTHER = {
 }
 FAKE_CAP = ["Zorblax", "Quuxton", "Fnordic", "Blivetar", "Snarfel", "Grumbly"]
 
+# _gen_page's slim cell encoding (filler == bare str) folds the neighbor
+# test "payload is None and first-char islower" into "is a filler cell";
+# that is only sound while every en filler starts lowercase and every
+# fake-entity token starts uppercase. Raise (not assert): must survive -O.
+if not all(f[:1].islower() for f in FILLERS_EN) or not all(
+    c[:1].isupper() for c in FAKE_CAP
+):
+    raise AssertionError("corpus filler/fake-cap case invariant violated")
+
 
 def build_registry(seed: int = SEED) -> list[dict]:
     """Deterministic entity registry: canonical_id, entity_type, surfaces
@@ -161,7 +170,21 @@ PAGES_GOLD_SCHEMA = T.StructType(
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 
-def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
+def _gen_page(
+    page_id: int, registry: list[dict], seed: int, mentions_only: bool = False
+) -> dict:
+    """One deterministic page.
+
+    ``mentions_only=True`` (round 6, fused-pipeline fast path) returns
+    ``{"url", "lang", "sents"}`` where ``sents`` is the per-sentence token
+    lists — exactly ``segment(tokenize_fast(extract_text(None, text)))`` of
+    the full page (pinned by tests/test_corpus_fastpath.py): every token is
+    a single NFC tokenizer match, sentences are joined by single spaces and
+    each ends with its own standalone ``"."``, so re-extract + re-tokenize +
+    re-segment of the joined text is pure recomputation. The RNG draw
+    sequence is IDENTICAL in both modes (every branch below draws the same
+    stream); non-en pages return immediately — their rng is page-local and
+    the fused consumer emits no rows for them."""
     rng = random.Random(f"page-{seed}-{page_id}")
     u = rng.random()
     if u < 0.92:
@@ -172,11 +195,14 @@ def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
         lang = "fr"
     else:
         lang = "zh"
+    if mentions_only and lang != "en":
+        return {"url": None, "lang": lang, "sents": ()}
     fillers = FILLERS_EN if lang == "en" else FILLERS_OTHER[lang]
     k_ent_choices = [0, 1, 1, 1, 2] if lang == "en" else [0]
     n_sents = rng.randint(1, 8)
     all_tokens: list[str] = []
     gold: list[dict] = []
+    sents: list[list[str]] = []
     n_reg = len(registry)
     # rng hot path (round 6): rng.choice dominates the per-page profile.
     # choice(seq) == seq[rng._randbelow(len(seq))] and
@@ -184,10 +210,15 @@ def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
     # implementation (random.py:235-370) — calling _randbelow directly
     # consumes the identical getrandbits stream (asserted page-identical
     # against the previous implementation over 4000 pages) while skipping
-    # two method layers per draw.
+    # two method layers per draw. The filler draw goes one layer deeper:
+    # _randbelow(n) == (r := getrandbits(k) until r < n) with
+    # k = n.bit_length() (random.py:242-250) — inlined below with k
+    # hoisted, same getrandbits stream.
     _rb = rng._randbelow
+    _grb = rng.getrandbits
     _choice, _random = rng.choice, rng.random
     _nf = len(fillers)
+    _kf = _nf.bit_length()
     for sent_id in range(n_sents):
         # a sentence is a list of cells; entity cells carry a gold payload,
         # so offsets are computed once, after all inserts — order-safe.
@@ -195,9 +226,20 @@ def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
         # entity counts are independent of this, so text volume (python
         # extract/segment/detect work) scales without inflating the
         # mention/triple shuffle volume.
-        cells: list[tuple[list[str], dict | None]] = [
-            ([fillers[_rb(_nf)]], None) for _ in range(10 + _rb(19))
-        ]
+        # Cell encoding (round 6): a filler cell is the bare token str; an
+        # inserted cell is (tokens, payload). insert_sep's neighbor test
+        # "payload is None and first-char islower" is exactly "is a filler
+        # cell": insert_sep only ever runs on en pages (k_ent_choices==[0]
+        # and no FP branch otherwise), ALL en fillers are lowercase
+        # (module-load assert below), every FAKE_CAP is capitalized and
+        # every entity cell has payload != None.
+        cells: list = []
+        _ap = cells.append
+        for _ in range(10 + _rb(19)):
+            r = _grb(_kf)
+            while r >= _nf:
+                r = _grb(_kf)
+            _ap(fillers[r])
 
         def insert_sep(cell: tuple[list[str], dict | None]) -> None:
             # keep planted multi-token runs non-adjacent so capitalized runs
@@ -205,14 +247,14 @@ def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
             # behavior but is pinned by unit tests, not by the golden corpus
             pos = _rb(len(cells) + 1)
             for _ in range(8):
-                left_ok = pos == 0 or cells[pos - 1][1] is None and cells[pos - 1][0][0][:1].islower()
-                right_ok = pos == len(cells) or cells[pos][1] is None and cells[pos][0][0][:1].islower()
+                left_ok = pos == 0 or type(cells[pos - 1]) is str
+                right_ok = pos == len(cells) or type(cells[pos]) is str
                 if left_ok and right_ok:
                     break
                 pos = _rb(len(cells) + 1)
             cells.insert(pos, cell)
 
-        k_ent = _choice(k_ent_choices)
+        k_ent = k_ent_choices[_rb(len(k_ent_choices))]
         for _ in range(k_ent):
             rank = int(n_reg ** _random())  # Zipf-ish: P(r) ∝ ln(1+1/r)
             ent = registry[min(rank, n_reg) - 1]
@@ -230,8 +272,24 @@ def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
         if lang == "en" and _random() < 0.015:  # FP noise: fake entity
             fake = [_choice(FAKE_CAP), _choice(FAKE_CAP)]
             insert_sep((fake, None))
+        if mentions_only:
+            # flat token list per sentence — no offsets, no gold payloads
+            flat: list[str] = []
+            for cell in cells:
+                if type(cell) is str:
+                    flat.append(cell)
+                else:
+                    flat.extend(cell[0])
+            flat.append(".")
+            sents.append(flat)
+            continue
         off = 0
-        for toks, payload in cells:
+        for cell in cells:
+            if type(cell) is str:
+                all_tokens.append(cell)
+                off += 1
+                continue
+            toks, payload = cell
             if payload is not None:
                 gold.append(
                     {
@@ -246,6 +304,10 @@ def _gen_page(page_id: int, registry: list[dict], seed: int) -> dict:
             all_tokens.extend(toks)
             off += len(toks)
         all_tokens.append(".")
+    if mentions_only:
+        _rb(365 * 86400)  # ts draw (== randint(0, 365*86400-1)), value unused
+        url = f"https://example{page_id % 20}.test/p{page_id:08d}-{_rb(4294967296):08x}"
+        return {"url": url, "lang": lang, "sents": sents}
     text = " ".join(all_tokens)
     ts = _EPOCH + timedelta(seconds=rng.randint(0, 365 * 86400 - 1))
     html = ("<html><body><p>" + text + "</p></body></html>").encode("utf-8")

@@ -83,6 +83,35 @@ class DeterministicScorer:
             out.append(labels)
         return out
 
+    def detect_runs(self, toks: list[str]) -> tuple[list[tuple[int, int]], int]:
+        """(spans, n_entity_tokens) for ONE sentence — provably equal to
+        ``(get_spans_bioes(detect_labels([toks])[0]), #labels != "O")``
+        (pinned by tests/test_corpus_fastpath.py): this scorer's labels are
+        exactly {S} or {B,I*,E} over each maximal run of capitalized
+        tokens, and BIOES assembly of such labels returns each run as one
+        span. Skips building the label list and re-parsing it — the fused
+        pipeline's per-sentence hot path."""
+        spans: list[tuple[int, int]] = []
+        nflag = 0
+        i = 0
+        n = len(toks)
+        while i < n:
+            t = toks[i]
+            if t and "A" <= t[0] <= "Z":
+                j = i + 1
+                while j < n:
+                    t = toks[j]
+                    if t and "A" <= t[0] <= "Z":
+                        j += 1
+                    else:
+                        break
+                spans.append((i, j - 1))
+                nflag += j - i
+                i = j + 1
+            else:
+                i += 1
+        return spans, nflag
+
 
 def detect_spans(sentences: DataFrame, scorer=None) -> DataFrame:
     """sentences(url, sent_id, tokens, ...) → + labels, detect_score."""

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .. import corpus
-from ..reference_impl import extract_text, get_spans_bioes, segment, tokenize_fast
+from ..reference_impl import extract_text, segment, tokenize_fast
 from .classify import classify_surface
 from .detect import DeterministicScorer
 
@@ -64,19 +64,26 @@ MENTIONS_SCHEMA = T.StructType(
 def _mentions_for_page(page: dict, scorer: DeterministicScorer) -> list[tuple]:
     if page["lang"] != "en":
         return []
-    toks = tokenize_fast(extract_text(None, page["text"]))
+    # round 6: sentences come straight from the generator when present
+    # (corpus._gen_page(mentions_only=True) — pinned equal to
+    # segment∘tokenize_fast∘extract_text of the page text); the text path
+    # stays for real-page sources (mentions_from_pages).
+    sents = page.get("sents")
+    if sents is None:
+        sents = segment(tokenize_fast(extract_text(None, page["text"])))
     out = []
-    sents = segment(toks)
-    # one scorer call per PAGE (the scorer API is batched; a real model
-    # forward amortizes the same way) — same labels per sentence
-    all_labels = scorer.detect_labels(sents)
     url = page["url"]
-    for sid, (sent, labels) in enumerate(zip(sents, all_labels)):
-        score = round(
-            1.0 - 1.0 / (2.0 + sum(1 for x in labels if x != "O")), 6
-        )
-        for s, e in get_spans_bioes(labels):
-            surface = " ".join(sent[s : e + 1])
+    # detect_runs == get_spans_bioes(detect_labels(...)) + non-O count
+    # (pinned by tests/test_corpus_fastpath.py); a sentence with no span
+    # emits nothing, so its score is never observable.
+    _runs = scorer.detect_runs
+    for sid, sent in enumerate(sents):
+        spans, nflag = _runs(sent)
+        if not spans:
+            continue
+        score = round(1.0 - 1.0 / (2.0 + nflag), 6)
+        for s, e in spans:
+            surface = sent[s] if s == e else " ".join(sent[s : e + 1])
             out.append(
                 (url, sid, s, e, surface, score, classify_surface(surface))
             )
@@ -105,7 +112,7 @@ def fused_mentions(
         for pdf in batches:
             rows: list[tuple] = []
             for pid in pdf["id"].tolist():
-                page = corpus._gen_page(pid, registry, seed)
+                page = corpus._gen_page(pid, registry, seed, mentions_only=True)
                 rows.extend(_mentions_for_page(page, scorer))
             yield pd.DataFrame(
                 rows,

@@ -232,33 +232,26 @@ def canonical_components(
     )
 
 
-def canonicalize_self_linked(
-    linked: DataFrame,
+def self_surface_canon_map(
+    self_surf: DataFrame,
     jaccard_threshold: float = 0.7,
     num_hashes: int = 16,
     bands: int = 8,
-) -> DataFrame:
-    """Merge variant UNKNOWN surfaces: mentions the dictionary could not
-    link (linked_via='self') whose normalized surfaces are near-duplicates
-    (char-3-gram Jaccard ≥ threshold under LSH blocking) collapse into one
-    component; canonical_id becomes ``surface:<component representative>``.
-
-    This is the C1-upgrade canonicalization of SURVEY §2 applied inside
-    the pipeline: dictionary-linked mentions are untouched; candidate new
-    entities are deduplicated before triple emission. Cost scales with
-    |distinct unknown surfaces|, not |mentions|.
-    """
+) -> DataFrame | None:
+    """DISTINCT self-linked surfaces → (surface_norm, _canon2) component
+    map, localCheckpointed, or ``None`` when no near-duplicate pair exists
+    (callers then skip the merge entirely). ``_canon2`` is
+    ``surface:<component representative>`` for EVERY input surface
+    (isolated surfaces map to themselves). Extracted from
+    :func:`canonicalize_self_linked` (round 6) so the pipeline can run it
+    over the already-materialized surface DIMENSION instead of re-deriving
+    distinct surfaces from the mention fact table."""
     from .lsh import char_shingles_col, lsh_self_join  # local import: no cycle
 
     # eager-materialize the tiny unknown-surface dimension ONCE: the CC
     # work below runs several small jobs, and without a materialization
-    # point each would rescan the (large, cached-but-columnar) fact table.
-    self_surf = (
-        linked.filter(F.col("linked_via") == "self")
-        .select("surface_norm")
-        .distinct()
-        .cache()
-    )
+    # point each would re-run the (possibly fact-table-sized) input plan.
+    self_surf = self_surf.cache()
     sh = self_surf.withColumn("shingles", char_shingles_col(F.col("surface_norm")))
     pairs = lsh_self_join(
         sh, "surface_norm", num_hashes=num_hashes, bands=bands,
@@ -273,14 +266,14 @@ def canonicalize_self_linked(
     if not head:
         # no near-duplicate unknown surfaces — nothing to merge
         self_surf.unpersist()
-        return linked
+        return None
     if len(head) <= driver_threshold:
         schema = self_surf.select(
             F.col("surface_norm").alias("node"),
             F.col("surface_norm").alias("component"),
         ).schema
         cc = _driver_union_find(
-            [(r["a"], r["b"]) for r in head], linked.sparkSession, schema
+            [(r["a"], r["b"]) for r in head], self_surf.sparkSession, schema
         )
     else:
         cc = star_contraction_components(
@@ -301,6 +294,41 @@ def canonicalize_self_linked(
     # cached frames into executor storage
     comp = comp.localCheckpoint()
     self_surf.unpersist()
+    return comp
+
+
+def canonicalize_self_linked(
+    linked: DataFrame,
+    jaccard_threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Merge variant UNKNOWN surfaces: mentions the dictionary could not
+    link (linked_via='self') whose normalized surfaces are near-duplicates
+    (char-3-gram Jaccard ≥ threshold under LSH blocking) collapse into one
+    component; canonical_id becomes ``surface:<component representative>``.
+
+    This is the C1-upgrade canonicalization of SURVEY §2 applied inside
+    the pipeline: dictionary-linked mentions are untouched; candidate new
+    entities are deduplicated before triple emission. Cost scales with
+    |distinct unknown surfaces|, not |mentions|.
+
+    NOTE (round 6): re-derives the distinct self surfaces by scanning the
+    mention-level input. When the linker's surface dimension is already
+    materialized, prefer ``link_mentions(..., canonicalize_self=True)``,
+    which runs :func:`self_surface_canon_map` at dimension level and is
+    pinned row-identical to this composition by
+    tests/test_link_canon_fold.py."""
+    comp = self_surface_canon_map(
+        linked.filter(F.col("linked_via") == "self")
+        .select("surface_norm")
+        .distinct(),
+        jaccard_threshold=jaccard_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    if comp is None:
+        return linked
     out = (
         linked.join(comp, "surface_norm", "left")
         .withColumn(

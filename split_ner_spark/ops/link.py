@@ -45,6 +45,7 @@ def link_mentions(
     bands: int = 8,
     fuzzy: bool = True,
     cleanup: list | None = None,
+    canonicalize_self: bool = False,
 ) -> DataFrame:
     """mentions(..., surface, entity_type) × alias(alias, canonical_id,
     entity_type) → + canonical_id, linked_via, final entity_type
@@ -53,6 +54,17 @@ def link_mentions(
     ``fuzzy=False`` skips the MinHash-LSH miss path (exact + self only) —
     used where deterministic cross-engine reproducibility matters (the
     DuckDB oracle twin) or when the dictionary is exhaustive.
+
+    ``canonicalize_self=True`` (round 6) folds
+    :func:`..canon.self_surface_canon_map` into the surface dimension
+    BEFORE the fact join: near-duplicate self-linked surfaces collapse to
+    one ``surface:<representative>`` id. Row-identical to
+    ``canonicalize_self_linked(link_mentions(...))`` (pinned by
+    tests/test_link_canon_fold.py) but runs the LSH + connected-components
+    work on the already-materialized |distinct surfaces| dimension instead
+    of re-scanning the mention fact table twice (once for the distinct, a
+    second time for the comp-map application join) — at 2M pages this
+    removed two full fact-table passes from the pipeline's link phase.
 
     Intermediate caches (distinct surfaces, dictionary-linked dim) are
     unpersisted as soon as the final surface→entity dimension is
@@ -164,9 +176,33 @@ def link_mentions(
     if cleanup is not None:
         cleanup.append(full_dim)
 
+    join_dim = full_dim
+    if canonicalize_self:
+        from .canon import self_surface_canon_map  # local import: no cycle
+
+        # dimension-level canonicalization: full_dim is unique per
+        # surface_norm and already cached, so the LSH + CC jobs and the
+        # comp-map application all run on |distinct surfaces| rows; the
+        # fact table is only touched by the single broadcast join below.
+        comp = self_surface_canon_map(
+            full_dim.filter(F.col("linked_via") == "self").select("surface_norm")
+        )
+        if comp is not None:
+            join_dim = full_dim.join(F.broadcast(comp), "surface_norm", "left").select(
+                "surface_norm",
+                F.when(
+                    (F.col("linked_via") == "self") & F.col("_canon2").isNotNull(),
+                    F.col("_canon2"),
+                )
+                .otherwise(F.col("canonical_id"))
+                .alias("canonical_id"),
+                "dict_type",
+                "linked_via",
+            )
+
     out = (
         mentions.withColumn("surface_norm", norm_surface_col(F.col("surface")))
-        .join(F.broadcast(full_dim), "surface_norm")
+        .join(F.broadcast(join_dim), "surface_norm")
         .withColumn("entity_type", F.coalesce(F.col("dict_type"), F.col("entity_type")))
         .drop("dict_type")
     )

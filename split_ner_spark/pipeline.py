@@ -34,7 +34,6 @@ from . import corpus
 from .ops.assemble import assemble_untyped
 from .ops.classify import classify_mentions
 from .ops.detect import detect_spans
-from .ops.canon import canonicalize_self_linked
 from .ops.link import link_mentions
 from .ops.metrics import triple_pr
 from .ops.segment import segment_pages
@@ -183,11 +182,13 @@ def run_pipeline(
         # without a materialization point each pass re-executes the link
         # join. In full mode the committed "linked" table plays this role.
         _link_cleanup: list = []
+        # canonicalize_self=True == canonicalize_self_linked(link_mentions)
+        # (pinned by tests/test_link_canon_fold.py) with the LSH/CC work on
+        # the surface dimension instead of two extra fact-table scans
         linked = (
-            canonicalize_self_linked(
-                link_mentions(
-                    mentions, alias_dim(spark, seed), cleanup=_link_cleanup
-                )
+            link_mentions(
+                mentions, alias_dim(spark, seed), cleanup=_link_cleanup,
+                canonicalize_self=True,
             )
             # make_triples only needs these four columns — a slim cache is
             # ~4x smaller than the full mention rows
@@ -229,10 +230,9 @@ def run_pipeline(
         _link_cleanup: list = []
         linked = sc.stage(
             "linked",
-            lambda: canonicalize_self_linked(
-                link_mentions(
-                    mentions, alias_dim(spark, seed), cleanup=_link_cleanup
-                )
+            lambda: link_mentions(
+                mentions, alias_dim(spark, seed), cleanup=_link_cleanup,
+                canonicalize_self=True,
             ),
             resume,
         )

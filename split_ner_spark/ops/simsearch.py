@@ -97,7 +97,27 @@ def _norm_sq_fold(a: Column) -> Column:
 
 
 def _dot(a: str | Column, b: str | Column, dim: int = EMB_DIM) -> Column:
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    # String column names (every production call site) build the WHOLE
+    # expression as one SQL string → ONE py4j round-trip instead of
+    # ~320 (round 6, second session: the per-Column py4j chatter was
+    # 0.9-2.1s of pure DRIVER time per query build at ANY scale —
+    # measured with cProfile, 20k socket round-trips for ann_lsh_topk).
+    # The parsed tree is structurally identical to the Column form
+    # (pinned by tests/test_simsearch_expr.py via Catalyst sameResult +
+    # value equality), so plans, codegen, and results are unchanged.
+    if isinstance(a, str) and isinstance(b, str):
+        chain = "0.0D" + "".join(
+            f" + CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE)"
+            for i in range(dim)
+        )
+        fold = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        )
+        return F.expr(
+            f"CASE WHEN greatest(size({a}), size({b})) >= {dim} "
+            f"THEN {chain} ELSE {fold} END"
+        )
     n = F.greatest(F.size(a), F.size(b))
     # fast path: full-width vectors take an UNGUARDED unrolled chain
     # (``get`` returns NULL out-of-range, so a shorter second side still
@@ -114,7 +134,19 @@ def _dot(a: str | Column, b: str | Column, dim: int = EMB_DIM) -> Column:
 
 
 def _norm_sq(a: str | Column, dim: int = EMB_DIM) -> Column:
-    a = F.col(a) if isinstance(a, str) else a
+    if isinstance(a, str):
+        # one-round-trip SQL build — see _dot
+        chain = "0.0D" + "".join(
+            f" + CAST(get({a}, {i}) AS DOUBLE) * CAST(get({a}, {i}) AS DOUBLE)"
+            for i in range(dim)
+        )
+        fold = (
+            f"aggregate({a}, 0.0D, (acc, x) -> "
+            "acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        )
+        return F.expr(
+            f"CASE WHEN size({a}) >= {dim} THEN {chain} ELSE {fold} END"
+        )
     acc: Column = F.lit(0.0)
     for i in range(dim):
         x = F.get(a, i).cast("double")
@@ -309,6 +341,18 @@ def _rp_weight(j: int, i: int) -> float:
     return 1.0 if h[0] in "89abcdef" else -1.0
 
 
+def _rp_dot_expr(emb: str, j: int, dim: int = EMB_DIM) -> str:
+    """Spark-SQL text of the RP projection fold — parsed in ONE py4j call
+    (the Column form shipped 64 weight literals per dot = ~2.5s of driver
+    socket round-trips per ann_lsh_topk BUILD; see _dot). The weights are
+    exactly ±1.0, whose text round-trips bitwise."""
+    w = ", ".join(f"{_rp_weight(j, i)!r}D" for i in range(dim))
+    return (
+        f"aggregate(zip_with({emb}, array({w}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _rp_dot(emb: str | Column, j: int, dim: int = EMB_DIM) -> Column:
     # Deliberately kept as the interpreted zip_with fold: this is per-ROW
     # work (bands*bits = 32 folds per vector), and unrolling all of them
@@ -317,6 +361,8 @@ def _rp_dot(emb: str | Column, j: int, dim: int = EMB_DIM) -> Column:
     # per-row cost is paid once per vector and parallelizes with the
     # round-6 scan fan-out; the per-PAIR scoring path uses the unrolled
     # ``_dot`` instead (one expression per operator — compiles fine).
+    if isinstance(emb, str):
+        return F.expr(_rp_dot_expr(emb, j, dim))
     w = F.array(*[F.lit(_rp_weight(j, i)) for i in range(dim)])
     return F.aggregate(
         F.zip_with(emb, w, lambda x, y: x.cast("double") * y),
@@ -328,6 +374,13 @@ def _rp_dot(emb: str | Column, j: int, dim: int = EMB_DIM) -> Column:
 def _rp_band_bucket(
     emb: str | Column, band: int, bits: int = RP_BITS, dim: int = EMB_DIM
 ) -> Column:
+    if isinstance(emb, str):
+        cases = ", ".join(
+            f"CASE WHEN {_rp_dot_expr(emb, band * bits + j, dim)} >= 0 "
+            "THEN '1' ELSE '0' END"
+            for j in range(bits)
+        )
+        return F.expr(f"concat({cases})")
     return F.concat(
         *[
             F.when(_rp_dot(emb, band * bits + j, dim) >= 0, F.lit("1")).otherwise(
@@ -588,8 +641,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
+            # dotted names go through _dot/_norm's one-round-trip SQL
+            # builder; `a.embedding` is a valid qualified reference there
             _cosine_from_norms(
-                F.col("a.embedding"), F.col("b.embedding"),
+                "a.embedding", "b.embedding",
                 F.col("a._nrm"), F.col("b._nrm"),
             ).alias("cosine_sim"),
         )

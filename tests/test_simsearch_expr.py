@@ -1,0 +1,70 @@
+"""The one-round-trip SQL-string builders in ops/simsearch must be
+CATALYST-IDENTICAL to the Column-combinator forms they replace.
+
+`sameResult` on the analyzed plans is Catalyst's own semantic-equality
+check — if it holds, plans, codegen, and results cannot differ; value
+equality over edge-case vectors (short/empty/NULL/zero/NaN arrays) is
+asserted on top, bitwise via repr.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from split_ner_spark.ops import simsearch as S
+
+EDGE_ROWS = [
+    ([0.5] * 64, [1.0] * 64),
+    ([0.1, 0.2, 0.3, 0.4], [0.4, 0.3, 0.2, 0.1]),
+    ([], []),
+    (None, [1.0] * 64),
+    ([1.0] * 64, None),
+    ([0.0] * 64, [0.0] * 64),
+    ([1.5] * 63, [2.5] * 64),
+    ([float("nan")] * 64, [1.0] * 64),
+    ([-0.25] * 65, [4.0] * 65),
+]
+
+
+def _same(df_a, df_b) -> bool:
+    return (
+        df_a._jdf.queryExecution()
+        .analyzed()
+        .sameResult(df_b._jdf.queryExecution().analyzed())
+    )
+
+
+def test_dot_norm_expr_equals_column(spark):
+    df = spark.createDataFrame(EDGE_ROWS, "a array<double>, b array<double>")
+    d_expr = df.select(S._dot("a", "b").alias("v"), S._norm_sq("a").alias("n"))
+    d_col = df.select(
+        S._dot(F.col("a"), F.col("b")).alias("v"),
+        S._norm_sq(F.col("a")).alias("n"),
+    )
+    assert _same(d_expr, d_col)
+    assert [repr(r) for r in d_expr.collect()] == [
+        repr(r) for r in d_col.collect()
+    ]
+
+
+def test_rp_band_bucket_expr_equals_column(spark):
+    emb = spark.createDataFrame(
+        [
+            ([0.1 * i - 3.0 for i in range(64)],),
+            ([0.5] * 64,),
+            ([-1.0] * 64,),
+            ([0.0] * 64,),
+        ],
+        "embedding array<double>",
+    )
+    b_expr = emb.select(
+        *[S._rp_band_bucket("embedding", b).alias(f"b{b}") for b in range(8)]
+    )
+    b_col = emb.select(
+        *[
+            S._rp_band_bucket(F.col("embedding"), b).alias(f"b{b}")
+            for b in range(8)
+        ]
+    )
+    assert _same(b_expr, b_col)
+    assert b_expr.collect() == b_col.collect()

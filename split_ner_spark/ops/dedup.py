@@ -506,6 +506,11 @@ def simhash_values(documents: DataFrame, bits: int = SIMHASH_PAIR_BITS) -> DataF
     output."""
     tok = F.explode(ws_tokens()).alias("token")
     chunks = bits // 8
+    # Expressions below are assembled as SQL strings — ONE py4j round-trip
+    # per expression instead of per operator (round 6, second session:
+    # the Column form was ~0.9s of driver build time per invocation at
+    # any data size; parsed trees pinned Catalyst-sameResult-identical to
+    # the Column form by tests/test_simsearch_expr.py).
     # md5 through its own Generate barrier (same pattern as
     # shingle_arrays): projection collapse would otherwise inline the md5
     # into all four chunk expressions and hash every token 4x
@@ -515,28 +520,24 @@ def simhash_values(documents: DataFrame, bits: int = SIMHASH_PAIR_BITS) -> DataF
         .select(
             "doc_id",
             *[
-                F.conv(F.substring("h", 8 * k + 1, 8), 16, 10)
-                .cast("long")
-                .alias(f"c{k}")
+                F.expr(
+                    f"CAST(conv(substring(h, {8 * k + 1}, 8), 16, 10) AS BIGINT)"
+                ).alias(f"c{k}")
                 for k in range(chunks)
             ],
         )
     )
     aggs = [
-        F.sum(
-            F.shiftright(F.col(f"c{j // 8}"), 31 - 4 * (j % 8)).bitwiseAND(F.lit(1))
-        ).alias(f"b{j}")
+        F.expr(f"sum(shiftright(c{j // 8}, {31 - 4 * (j % 8)}) & 1)").alias(f"b{j}")
         for j in range(bits)
-    ] + [F.count(F.lit(1)).alias("_n")]
-    v = None
-    for j in range(bits):
-        bit = F.when(
-            F.col(f"b{j}") * 2 > F.col("_n"),
-            F.lit(1 << (bits - 1 - j)).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        v = bit if v is None else v + bit
+    ] + [F.expr("count(1)").alias("_n")]
+    v = " + ".join(
+        f"CASE WHEN b{j} * 2 > _n THEN CAST({1 << (bits - 1 - j)} AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
     return exploded.groupBy("doc_id").agg(*aggs).select(
-        "doc_id", v.alias("simhash_v")
+        "doc_id", F.expr(v).alias("simhash_v")
     )
 
 

@@ -1,5 +1,6 @@
-"""The one-round-trip SQL-string builders in ops/simsearch must be
-CATALYST-IDENTICAL to the Column-combinator forms they replace.
+"""The one-round-trip SQL-string builders (ops/simsearch vector math,
+ops/dedup simhash_values) must be CATALYST-IDENTICAL to the
+Column-combinator forms they replace.
 
 `sameResult` on the analyzed plans is Catalyst's own semantic-equality
 check — if it holds, plans, codegen, and results cannot differ; value
@@ -12,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from split_ner_spark.ops import simsearch as S
+from split_ner_spark.ops.dedup import SIMHASH_PAIR_BITS, simhash_values, ws_tokens
 
 EDGE_ROWS = [
     ([0.5] * 64, [1.0] * 64),
@@ -68,3 +70,57 @@ def test_rp_band_bucket_expr_equals_column(spark):
     )
     assert _same(b_expr, b_col)
     assert b_expr.collect() == b_col.collect()
+
+
+def _simhash_values_column_form(documents, bits=SIMHASH_PAIR_BITS):
+    """The pre-round-6-continuation Column-combinator implementation of
+    ops.dedup.simhash_values, kept verbatim as the reference spec."""
+    tok = F.explode(ws_tokens()).alias("token")
+    chunks = bits // 8
+    exploded = (
+        documents.select("doc_id", tok)
+        .select("doc_id", F.explode(F.array(F.md5("token"))).alias("h"))
+        .select(
+            "doc_id",
+            *[
+                F.conv(F.substring("h", 8 * k + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"c{k}")
+                for k in range(chunks)
+            ],
+        )
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col(f"c{j // 8}"), 31 - 4 * (j % 8)).bitwiseAND(F.lit(1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    v = None
+    for j in range(bits):
+        bit = F.when(
+            F.col(f"b{j}") * 2 > F.col("_n"),
+            F.lit(1 << (bits - 1 - j)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        v = bit if v is None else v + bit
+    return exploded.groupBy("doc_id").agg(*aggs).select(
+        "doc_id", v.alias("simhash_v")
+    )
+
+
+def test_simhash_values_expr_equals_column(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fox"),
+            (2, "completely different words here altogether"),
+            (3, ""),
+            (4, "café über naïve 数据"),
+            (5, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    a = simhash_values(docs)
+    b = _simhash_values_column_form(docs)
+    assert _same(a, b)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -203,19 +203,25 @@ def gaz_spans(documents: DataFrame, gaz: dict[str, str]) -> DataFrame:
     — a type change inside a run therefore truncates the span exactly as
     /root/reference/splitner/analysis.py:77-91 does."""
     df = documents.select("doc_id", "lang", ws_tokens().alias("tokens"))
+    # One gazetteer-case-chain evaluation per token (round 6, second
+    # session): typs[i] = type of token i, materialized once; the old
+    # form re-ran the chain a second time per token to type the PREVIOUS
+    # token. tags[i] is unchanged: prev type == element_at(typs,
+    # greatest(i, 1)) by construction (transform's i is 0-based,
+    # element_at is 1-based — same indexing the old form used on tokens).
+    typed = df.withColumn(
+        "typs", F.transform("tokens", lambda t: _typ_col(t, gaz))
+    )
 
-    def tag(t: Column, i: Column) -> Column:
-        typ = _typ_col(t, gaz)
-        prev_typ = _typ_col(
-            F.element_at(F.col("tokens"), F.greatest(i, F.lit(1))), gaz
-        )
+    def tag(typ: Column, i: Column) -> Column:
+        prev_typ = F.element_at(F.col("typs"), F.greatest(i, F.lit(1)))
         return (
             F.when(typ.isNull(), F.lit("O"))
             .when((i == 0) | prev_typ.isNull(), F.concat(F.lit("B-"), typ))
             .otherwise(F.concat(F.lit("I-"), typ))
         )
 
-    tagged = df.withColumn("tags", F.transform("tokens", tag))
+    tagged = typed.withColumn("tags", F.transform("typs", tag))
     return (
         tagged.withColumn("span", F.explode(spans_bio_col("tags")))
         .select(

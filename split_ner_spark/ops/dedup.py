@@ -147,25 +147,38 @@ def minhash_signatures_from_arrays(
 
     One-hash-many-mixes: base = first 8 hex chars of the shingle's md5
     (already computed in :func:`shingle_arrays` — NO second text pass),
-    sig[i] = min over bases of the i-th affine mix. The bases array goes
-    through its own Generate barrier so the conv() pass runs once, not
-    once per signature row (higher-order funcs are not codegen'd and
-    projection collapse would re-inline it)."""
+    sig[i] = min over bases of the i-th affine mix.
+
+    Round 6 (second session): computed as explode → grouped min-aggregates
+    instead of a per-row higher-order fold. HOFs are CodegenFallback, so
+    the fold evaluated |shingles| × n_hashes interpreted mix expressions
+    per document (~240M at the driver's sf1 — the dominant cost of the
+    whole dedup family); the aggregate form runs the same mixes inside
+    WholeStageCodegen. Exactly output-equivalent (pinned by
+    tests/test_simsearch_expr.py): every doc emitted by shingle_arrays
+    has ≥1 shingle (token-less docs are filtered there), min is
+    order-independent, and the integer math is the same literal-constant
+    affine mix below 2^63. The shuffle this adds carries one PARTIALLY
+    AGGREGATED row per (doc, map partition) — each doc's shingle rows are
+    generated inside one partition, so the exchange moves ~|docs| rows of
+    32 longs, not |shingles| rows."""
     bases = F.transform(
         F.col("sh"), lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     )
-    with_bases = sh_arrays.select("doc_id", F.explode(F.array(bases)).alias("bases"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("bases"),
-                lambda b: (b * (12289 * (i + 1) + 6151) + (104729 * i + 9973))
-                % MINHASH_P,
-            )
-        ),
+    rows = sh_arrays.select("doc_id", F.explode(bases).alias("b"))
+    aggs = [
+        F.expr(
+            f"min((b * {12289 * (i + 1) + 6151} + {104729 * i + 9973}) "
+            f"% {MINHASH_P})"
+        ).alias(f"s{i}")
+        for i in range(n_hashes)
+    ]
+    sig_cols = ", ".join(f"s{i}" for i in range(n_hashes))
+    return (
+        rows.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.expr(f"array({sig_cols})").alias("signature"))
     )
-    return with_bases.select("doc_id", sig.alias("signature"))
 
 
 def minhash_signatures(documents: DataFrame, k: int = 3, n_hashes: int = N_MINHASH) -> DataFrame:

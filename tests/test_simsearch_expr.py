@@ -13,7 +13,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from split_ner_spark.ops import simsearch as S
-from split_ner_spark.ops.dedup import SIMHASH_PAIR_BITS, simhash_values, ws_tokens
+from split_ner_spark.ops.dedup import (
+    MINHASH_P,
+    N_MINHASH,
+    SIMHASH_PAIR_BITS,
+    minhash_signatures_from_arrays,
+    shingle_arrays,
+    simhash_values,
+    ws_tokens,
+)
 
 EDGE_ROWS = [
     ([0.5] * 64, [1.0] * 64),
@@ -106,6 +114,51 @@ def _simhash_values_column_form(documents, bits=SIMHASH_PAIR_BITS):
     return exploded.groupBy("doc_id").agg(*aggs).select(
         "doc_id", v.alias("simhash_v")
     )
+
+
+def _minhash_signatures_fold_form(sh_arrays, n_hashes=N_MINHASH):
+    """The pre-round-6-continuation higher-order-fold implementation of
+    ops.dedup.minhash_signatures_from_arrays, kept verbatim as the
+    reference spec (the shipped form computes the same mixes as grouped
+    min-aggregates inside WholeStageCodegen)."""
+    bases = F.transform(
+        F.col("sh"), lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    )
+    with_bases = sh_arrays.select(
+        "doc_id", F.explode(F.array(bases)).alias("bases")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("bases"),
+                lambda b: (b * (12289 * (i + 1) + 6151) + (104729 * i + 9973))
+                % MINHASH_P,
+            )
+        ),
+    )
+    return with_bases.select("doc_id", sig.alias("signature"))
+
+
+def test_minhash_signatures_agg_equals_fold(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox leaps over the lazy dog"),
+            (3, "completely different text with other words entirely"),
+            (4, "short"),
+            (5, "two words"),
+            (6, ""),  # token-less: filtered by shingle_arrays in BOTH forms
+            (7, "café über naïve 数据 表格 行"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_arrays(docs)
+    a = sorted((r[0], tuple(r[1])) for r in minhash_signatures_from_arrays(sh).collect())
+    b = sorted((r[0], tuple(r[1])) for r in _minhash_signatures_fold_form(sh).collect())
+    assert a == b
+    assert len(a) == 7  # doc 6 excluded by the token-less filter
 
 
 def test_simhash_values_expr_equals_column(spark):
